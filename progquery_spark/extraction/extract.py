@@ -1,0 +1,290 @@
+"""Per-conversation mention + triple extraction (SURVEY.md §2.2 E1-E10).
+
+The reference walks each *complete, attributed* compilation unit with one
+visitor (ASTTypesVisitor, fired from GetStructuresAfterAnalyze.java:60-108 —
+only after ANALYZE, because extraction needs the whole ordered unit). Our
+analog: each conversation is reassembled under stable ``(conv_id, turn_idx)``
+order and extracted in one vectorized pass.
+
+Physical plan (scale path):
+    transcripts.repartition(N, conv_id)          -- co-locate conversations
+               .sortWithinPartitions(conv_id, turn_idx)
+               .mapInPandas(extract, EXTRACTION_SCHEMA)
+
+``mapInPandas`` (not ``groupBy().applyInPandas``) is deliberate: at 10^12
+turns, one-pandas-call-per-conversation is billions of tiny Python frames;
+instead each Arrow batch holds *thousands* of conversations processed by
+vectorized pandas regex. Conversations can straddle consecutive Arrow
+batches of a partition, so the extractor carries the trailing (possibly
+incomplete) conversation over to the next batch — bounded memory: at most
+one conversation's rows are held back. Conversation-context facts (the order
+key declared in turn 0, needed by item-turn triples — the analog of the
+reference's enclosing-callable context, ASTTypesVisitor.java:1085-1089)
+therefore always resolve within one pandas call.
+
+Output is a single unioned frame (kind ∈ {mention, triple}) so the pipeline
+materializes the regex pass exactly once; mentions/triples are cheap filters
+downstream (reference analog: one visitor emits both nodes and relations,
+SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from . import rules as R
+
+EXTRACTION_SCHEMA = StructType(
+    [
+        StructField("kind", StringType(), False),  # 'mention' | 'triple'
+        StructField("conv_id", StringType(), False),
+        StructField("turn_idx", IntegerType(), False),
+        StructField("mention_type", StringType(), True),
+        StructField("surface", StringType(), True),
+        StructField("norm_key", StringType(), True),
+        StructField("subj", StringType(), True),
+        StructField("pred", StringType(), True),
+        StructField("obj", StringType(), True),
+        StructField("ordinal", IntegerType(), True),
+        StructField("span_start", IntegerType(), False),
+        StructField("span_end", IntegerType(), False),
+        StructField("is_decl", BooleanType(), True),
+    ]
+)
+
+_COLS = [f.name for f in EXTRACTION_SCHEMA.fields]
+
+_L = {
+    "intro_p0": len(R.INTRO_P0),
+    "intro_p1": len(R.INTRO_P1),
+    "intro_p2": len(R.INTRO_P2),
+    "intro_p3": len(R.INTRO_P3),
+    "item_p0": len(R.ITEM_P0),
+    "item_p1": len(R.ITEM_P1),
+    "item_p2": len(R.ITEM_P2),
+    "item_p3": len(R.ITEM_P3),
+    "final_p0": len(R.FINAL_P0),
+    "final_p1": len(R.FINAL_P1),
+    "final_p2": len(R.FINAL_P2),
+}
+
+
+def _mk(kind: str, conv, turn, **cols) -> pd.DataFrame:
+    out = pd.DataFrame({"conv_id": conv.to_numpy(), "turn_idx": turn.to_numpy()})
+    out["kind"] = kind
+    for c in _COLS:
+        if c in ("kind", "conv_id", "turn_idx"):
+            continue
+        v = cols.get(c)
+        out[c] = v.to_numpy() if isinstance(v, pd.Series) else v
+    return out[_COLS]
+
+
+def _mention(conv, turn, mtype, surface, start, end, is_decl) -> pd.DataFrame:
+    nk = surface.str.lower() if mtype in R.PFX else surface
+    prefix = R.PFX.get(mtype, "lit:")
+    return _mk(
+        "mention",
+        conv,
+        turn,
+        mention_type=mtype,
+        surface=surface,
+        norm_key=prefix + nk,
+        span_start=start,
+        span_end=end,
+        is_decl=is_decl,
+    )
+
+
+def _triple(conv, turn, subj, pred, obj, start, end, ordinal=None) -> pd.DataFrame:
+    return _mk(
+        "triple",
+        conv,
+        turn,
+        subj=subj,
+        pred=pred,
+        obj=obj,
+        ordinal=ordinal,
+        span_start=start,
+        span_end=end,
+    )
+
+
+def extract_pandas(turns: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized extraction over a frame of whole conversations.
+
+    ``turns`` must contain every turn of every conversation it mentions
+    (the carry-over logic in ``_extract_iter`` guarantees this) and be
+    sorted by (conv_id, turn_idx). Pure pandas — also used directly by the
+    test oracle.
+    """
+    text = turns["text"]
+    conv = turns["conv_id"]
+    tidx = turns["turn_idx"].astype("int32")
+    parts: list[pd.DataFrame] = []
+
+    # --- intro turns (E1 analog: declaration + references) ----------------
+    m = text.str.extract(R.INTRO_RE)
+    hit = m[0].notna()
+    if hit.any():
+        g = m[hit]
+        c, t = conv[hit], tidx[hit]
+        cust, nation, okey, prio = g[0], g[1], g[2], g[3]
+        cust_s = _L["intro_p0"]
+        cust_e = cust_s + cust.str.len()
+        nat_s = cust_e + _L["intro_p1"]
+        nat_e = nat_s + nation.str.len()
+        ok_s = nat_e + _L["intro_p2"]
+        ok_e = ok_s + okey.str.len()
+        pr_s = ok_e + _L["intro_p3"]
+        pr_e = pr_s + prio.str.len()
+        order_key = "order:" + okey
+        cust_key = "customer:" + cust
+        nation_key = "nation:" + nation
+        parts += [
+            _mention(c, t, "customer", cust, cust_s, cust_e, True),
+            _mention(c, t, "nation", nation, nat_s, nat_e, False),
+            _mention(c, t, "order", okey, ok_s, ok_e, True),
+            _mention(c, t, "literal", prio, pr_s, pr_e, False),
+            _triple(c, t, cust_key, "from_nation", nation_key, nat_s, nat_e),
+            _triple(c, t, cust_key, "placed", order_key, ok_s, ok_e),
+            _triple(c, t, order_key, "has_priority", prio, pr_s, pr_e),
+        ]
+
+    # conversation context: order key declared in intro (or final) turn —
+    # needed by item turns whose text does not repeat the key.
+    ctx = {}
+
+    # --- final turns (declares the order too) ------------------------------
+    mf = text.str.extract(R.FINAL_RE)
+    fhit = mf[0].notna()
+    if fhit.any():
+        g = mf[fhit]
+        c, t = conv[fhit], tidx[fhit]
+        okey, total, status = g[0], g[1], g[2]
+        ok_s = _L["final_p0"]
+        ok_e = ok_s + okey.str.len()
+        tot_s = ok_e + _L["final_p1"]
+        tot_e = tot_s + total.str.len()
+        st_s = tot_e + _L["final_p2"]
+        st_e = st_s + 1
+        order_key = "order:" + okey
+        parts += [
+            _mention(c, t, "order", okey, ok_s, ok_e, True),
+            _mention(c, t, "literal", total, tot_s, tot_e, False),
+            _mention(c, t, "literal", status, st_s, st_e, False),
+            _triple(c, t, order_key, "has_total", total, tot_s, tot_e),
+            _triple(c, t, order_key, "has_status", status, st_s, st_e),
+        ]
+
+    if hit.any():
+        ctx.update(zip(conv[hit], m[hit][2]))
+    if fhit.any():
+        for cv, k in zip(conv[fhit], mf[fhit][0]):
+            ctx.setdefault(cv, k)
+
+    # --- item turns (context-dependent subject) ----------------------------
+    mi = text.str.extract(R.ITEM_RE)
+    ihit = mi[0].notna()
+    if ihit.any():
+        g = mi[ihit]
+        c, t = conv[ihit], tidx[ihit]
+        ln, qty, part, supp = g[0], g[1], g[2], g[3]
+        okey = c.map(ctx)
+        resolved = okey.notna()
+        if not resolved.all():
+            # a conversation with item turns but no intro/final declaration:
+            # defensive drop, mirroring the reference's unexpected-tree
+            # assertions (ASTTypesVisitor.visitOther:1299-1302)
+            c, t = c[resolved], t[resolved]
+            ln, qty, part, supp = (x[resolved] for x in (ln, qty, part, supp))
+            okey = okey[resolved]
+        if len(c):
+            ln_e = _L["item_p0"] + ln.str.len()
+            qty_s = ln_e + _L["item_p1"]
+            qty_e = qty_s + qty.str.len()
+            part_s = qty_e + _L["item_p2"]
+            part_e = part_s + part.str.len()
+            sup_s = part_e + _L["item_p3"]
+            sup_e = sup_s + supp.str.len()
+            order_key = "order:" + okey
+            part_key = "part:" + part
+            supp_key = "supplier:" + supp
+            ordv = ln.astype("int32")
+            parts += [
+                _mention(c, t, "part", part, part_s, part_e, False),
+                _mention(c, t, "supplier", supp, sup_s, sup_e, False),
+                _triple(c, t, order_key, "includes", part_key, part_s, part_e, ordv),
+                _triple(c, t, part_key, "supplied_by", supp_key, sup_s, sup_e),
+            ]
+
+    if not parts:
+        return pd.DataFrame({c: pd.Series(dtype="object") for c in _COLS})
+    out = pd.concat(parts, ignore_index=True)
+    out["turn_idx"] = out["turn_idx"].astype("int32")
+    out["span_start"] = out["span_start"].astype("int32")
+    out["span_end"] = out["span_end"].astype("int32")
+    return out
+
+
+def _extract_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: carry the trailing conversation across batches."""
+    carry: pd.DataFrame | None = None
+    for pdf in batches:
+        if carry is not None and len(carry):
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        if not len(pdf):
+            continue
+        last = pdf["conv_id"].iloc[-1]
+        tail = pdf["conv_id"] == last
+        carry = pdf[tail]
+        work = pdf[~tail]
+        if len(work):
+            yield extract_pandas(work)
+    if carry is not None and len(carry):
+        yield extract_pandas(carry)
+
+
+def extract(transcripts: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """The extraction stage: one shuffle (by conv_id), one Arrow pass."""
+    spark = transcripts.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        transcripts.repartition(num_partitions, "conv_id")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "text")  # column pruning before Arrow
+        .mapInPandas(_extract_iter, EXTRACTION_SCHEMA)
+    )
+
+
+def mentions_of(extraction: DataFrame) -> DataFrame:
+    cols = [
+        "conv_id",
+        "turn_idx",
+        "mention_type",
+        "surface",
+        "norm_key",
+        "span_start",
+        "span_end",
+        "is_decl",
+    ]
+    return extraction.filter(F.col("kind") == "mention").select(*cols)
+
+
+def triples_of(extraction: DataFrame) -> DataFrame:
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj", "ordinal", "span_start", "span_end"]
+    return extraction.filter(F.col("kind") == "triple").select(*cols)

@@ -1,0 +1,237 @@
+"""Graph materialization: nodes + edges tables (SURVEY.md §1.5, §2.1 S4-S7).
+
+Reference behavior reproduced:
+- typed nodes with hypernym category labels attached at creation
+  (NodeTypes.java:81-97, DatabaseFacade.addMultiLabelHypernyms,
+  DatabaseFacade.java:44-47) — here a literal map lookup, no join;
+- provenance on every node (DatabaseFacade.createSkeletonNode,
+  DatabaseFacade.java:51-58);
+- deterministic ids: the reference buffers writes, lets Neo4j assign ids,
+  then *backfills* them into pending edge statements
+  (DriverLazyInsertionService.java:65-80, InfoToInsert.java:51-63 — S7).
+  We instead derive ids as xxhash64 of natural keys, so node and edge
+  writes are independent and idempotent — the key semantic simplification
+  Spark buys (SURVEY.md §2.1 S7);
+- duplicate-edge suppression via guard sets (ASTTypesVisitor.java:925-932)
+  -> dropDuplicates on (src, dst, rel_type, ordinal) (C3).
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import NODE_CATEGORIES
+
+def _category_map():
+    # literal map: node_type -> hypernym categories. Built lazily (Column
+    # construction needs an active SparkContext).
+    return F.create_map(
+        *chain.from_iterable(
+            (F.lit(k), F.array(*[F.lit(c) for c in v]))
+            for k, v in NODE_CATEGORIES.items()
+        )
+    )
+
+
+def node_id(*cols):
+    return F.xxhash64(*cols)
+
+
+def _with_categories(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "categories",
+        F.coalesce(_category_map()[F.col("node_type")], F.array(F.lit("PQ_NODE"))),
+    )
+
+
+_NODE_COLS = [
+    "node_id",
+    "node_type",
+    "categories",
+    "name",
+    "canonical_key",
+    "is_declared",
+    "conv_id",
+    "turn_idx",
+    "span_start",
+    "span_end",
+    "props",
+]
+
+def _EMPTY_PROPS():
+    return F.create_map().cast("map<string,string>")
+
+
+def _pad(df: DataFrame) -> DataFrame:
+    cols = set(df.columns)
+    out = df
+    defaults = {
+        "name": F.lit(None).cast("string"),
+        "canonical_key": F.lit(None).cast("string"),
+        "is_declared": F.lit(True),
+        "conv_id": F.lit(None).cast("string"),
+        "turn_idx": F.lit(None).cast("int"),
+        "span_start": F.lit(None).cast("int"),
+        "span_end": F.lit(None).cast("int"),
+        "props": _EMPTY_PROPS(),
+    }
+    for c, d in defaults.items():
+        if c not in cols:
+            out = out.withColumn(c, d)
+    return _with_categories(out).select(*_NODE_COLS)
+
+
+def build_nodes(
+    transcripts: DataFrame,
+    mentions: DataFrame,
+    entities: DataFrame,
+    alias_map: DataFrame,
+) -> DataFrame:
+    """All node families, unioned under NODE_SCHEMA."""
+    conv_nodes = (
+        transcripts.select("conv_id")
+        .distinct()
+        .select(
+            node_id(F.lit("conv"), "conv_id").alias("node_id"),
+            F.lit("CONVERSATION").alias("node_type"),
+            F.col("conv_id").alias("name"),
+            F.col("conv_id"),
+        )
+    )
+    turn_nodes = transcripts.select(
+        node_id(F.lit("turn"), "conv_id", "turn_idx").alias("node_id"),
+        F.lit("TURN").alias("node_type"),
+        F.col("role").alias("name"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.create_map(
+            F.lit("role"), F.col("role"), F.lit("n_chars"), F.length("text").cast("string")
+        ).alias("props"),
+    )
+    mention_nodes = mentions.select(
+        node_id(
+            F.lit("mention"), "conv_id", "turn_idx", "span_start", "mention_type"
+        ).alias("node_id"),
+        F.lit("MENTION").alias("node_type"),
+        F.col("surface").alias("name"),
+        F.col("norm_key").alias("canonical_key"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.col("span_start"),
+        F.col("span_end"),
+        F.create_map(F.lit("mention_type"), F.col("mention_type")).alias("props"),
+    )
+    # entity nodes live at the *canonical* key (placeholder rows that were
+    # merged into a definition disappear here — the J5 rewiring analog)
+    ent_nodes = (
+        entities.join(F.broadcast(alias_map), "norm_key", "left")
+        .withColumn("ck", F.coalesce("canonical_key", "norm_key"))
+        .groupBy("ck")
+        .agg(
+            F.max("mention_type").alias("mention_type"),
+            F.min("name").alias("name"),
+            F.max("is_declared").alias("is_declared"),
+        )
+        .select(
+            node_id(F.lit("entity"), "ck").alias("node_id"),
+            F.upper("mention_type").alias("node_type"),
+            F.col("name"),
+            F.col("ck").alias("canonical_key"),
+            F.col("is_declared"),
+        )
+    )
+    lit_nodes = (
+        mentions.filter(F.col("mention_type") == "literal")
+        .select(F.col("norm_key"), F.col("surface"))
+        .distinct()
+        .select(
+            node_id(F.lit("lit"), "norm_key").alias("node_id"),
+            F.lit("LITERAL").alias("node_type"),
+            F.col("surface").alias("name"),
+            F.col("norm_key").alias("canonical_key"),
+            F.lit(False).alias("is_declared"),
+        )
+    )
+    return (
+        _pad(conv_nodes)
+        .unionByName(_pad(turn_nodes))
+        .unionByName(_pad(mention_nodes))
+        .unionByName(_pad(ent_nodes))
+        .unionByName(_pad(lit_nodes))
+    )
+
+
+_EDGE_COLS = ["src_id", "dst_id", "rel_type", "rel_graph", "ordinal", "props"]
+
+
+def _edge(df: DataFrame, rel_type: str, rel_graph: str) -> DataFrame:
+    out = df
+    if "ordinal" not in df.columns:
+        out = out.withColumn("ordinal", F.lit(None).cast("int"))
+    if "props" not in out.columns:
+        out = out.withColumn("props", _EMPTY_PROPS())
+    return out.select(
+        "src_id",
+        "dst_id",
+        F.lit(rel_type).alias("rel_type"),
+        F.lit(rel_graph).alias("rel_graph"),
+        "ordinal",
+        "props",
+    )
+
+
+def build_edges(
+    transcripts: DataFrame,
+    mentions: DataFrame,
+    canonical_triples: DataFrame,
+    alias_map: DataFrame,
+) -> DataFrame:
+    """Structure + link + semantic edges (flow edges come from passes.py)."""
+    has_turn = transcripts.select(
+        node_id(F.lit("conv"), "conv_id").alias("src_id"),
+        node_id(F.lit("turn"), "conv_id", "turn_idx").alias("dst_id"),
+        F.col("turn_idx").alias("ordinal"),
+    )
+    has_mention = mentions.select(
+        node_id(F.lit("turn"), "conv_id", "turn_idx").alias("src_id"),
+        node_id(
+            F.lit("mention"), "conv_id", "turn_idx", "span_start", "mention_type"
+        ).alias("dst_id"),
+    )
+    refers_to = (
+        mentions.filter(F.col("mention_type") != "literal")
+        .join(F.broadcast(alias_map), "norm_key", "left")
+        .withColumn("ck", F.coalesce("canonical_key", "norm_key"))
+        .select(
+            node_id(
+                F.lit("mention"), "conv_id", "turn_idx", "span_start", "mention_type"
+            ).alias("src_id"),
+            node_id(F.lit("entity"), "ck").alias("dst_id"),
+        )
+    )
+    # semantic edges between canonical entities (literal objects -> LITERAL
+    # nodes); one edge per distinct (src, dst, rel_type, ordinal) — C3 dedup
+    from ..canonicalize.remap import OBJ_IS_ENTITY
+
+    sem = canonical_triples.select(
+        node_id(F.lit("entity"), "subj").alias("src_id"),
+        F.when(
+            F.col("pred").isin(*OBJ_IS_ENTITY), node_id(F.lit("entity"), "obj")
+        )
+        .otherwise(node_id(F.lit("lit"), F.concat(F.lit("lit:"), F.col("obj"))))
+        .alias("dst_id"),
+        F.col("pred").alias("rel_type"),
+        F.lit("SEMANTIC").alias("rel_graph"),
+        F.col("ordinal"),
+        _EMPTY_PROPS().alias("props"),
+    ).dropDuplicates(["src_id", "dst_id", "rel_type", "ordinal"])
+
+    return (
+        _edge(has_turn, "HAS_TURN", "STRUCTURE")
+        .unionByName(_edge(has_mention, "HAS_MENTION", "STRUCTURE"))
+        .unionByName(_edge(refers_to, "REFERS_TO", "LINK"))
+        .unionByName(sem.select(*_EDGE_COLS))
+    )

@@ -1,0 +1,134 @@
+"""Global graph passes (SURVEY.md §2.5-2.6 analogs).
+
+These are the analogs of the reference's ``endAnalysis`` phase
+(CompilationScheduler.java:146-154): passes that run over the *whole*
+accumulated graph after per-conversation extraction — the only genuinely
+multi-record computations in the system.
+
+- G1 analog (CFG threading, CFGVisitor.java:23-729): conversational-flow
+  edges — NEXT_TURN / NEXT_TURN_SAME_ROLE / REPLIES_TO / TOOL_RESULT_OF —
+  via window functions over (conv_id, turn_idx). The reference threads
+  CFG_NEXT_STATEMENT sequentially with a visitor; a sorted window is the
+  distributed equivalent, no UDF needed.
+- A4/G4 analog (consensus may/must, InterproceduralPDG.java:49-78): a
+  relation between two entities is 'must' when *every* conversation that
+  mentions the subject asserts it, 'may' otherwise — computed with the
+  reference's count-vs-candidate-count consensus trick as a real
+  distributed aggregation.
+- Salted two-phase aggregation for hot keys (SURVEY.md §4.3.1): nations /
+  priorities are Zipf-hot; mention counting goes groupBy(key, salt) ->
+  groupBy(key) so no single reducer owns a hot key's entire mention set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .materialize import node_id
+
+
+def flow_edges(transcripts: DataFrame) -> DataFrame:
+    """NEXT_TURN / NEXT_TURN_SAME_ROLE / REPLIES_TO / TOOL_RESULT_OF.
+
+    One shuffle on conv_id; all four families come from the same window
+    pass (Catalyst reuses the sort).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    w_role = Window.partitionBy("conv_id", "role").orderBy("turn_idx")
+    base = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        F.lead("turn_idx").over(w).alias("next_idx"),
+        F.lead("turn_idx").over(w_role).alias("next_same_role_idx"),
+        F.last(F.when(F.col("role") == "user", F.col("turn_idx")), ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("prev_user_idx"),
+        F.lag("turn_idx").over(w).alias("prev_idx"),
+    )
+
+    def _mk(src_idx: str, dst_idx: str, rel: str, flt) -> DataFrame:
+        return base.filter(flt).select(
+            node_id(F.lit("turn"), "conv_id", src_idx).alias("src_id"),
+            node_id(F.lit("turn"), "conv_id", dst_idx).alias("dst_id"),
+            F.lit(rel).alias("rel_type"),
+            F.lit("FLOW").alias("rel_graph"),
+            F.lit(None).cast("int").alias("ordinal"),
+            F.create_map().cast("map<string,string>").alias("props"),
+        )
+
+    next_turn = _mk("turn_idx", "next_idx", "NEXT_TURN", F.col("next_idx").isNotNull())
+    next_same = _mk(
+        "turn_idx",
+        "next_same_role_idx",
+        "NEXT_TURN_SAME_ROLE",
+        F.col("next_same_role_idx").isNotNull(),
+    )
+    replies = _mk(
+        "turn_idx",
+        "prev_user_idx",
+        "REPLIES_TO",
+        (F.col("role") != "user") & F.col("prev_user_idx").isNotNull(),
+    )
+    tool_res = _mk(
+        "turn_idx",
+        "prev_idx",
+        "TOOL_RESULT_OF",
+        (F.col("role") == "tool") & F.col("prev_idx").isNotNull(),
+    )
+    return next_turn.unionByName(next_same).unionByName(replies).unionByName(tool_res)
+
+
+def salted_mention_counts(
+    mentions: DataFrame, alias_map: DataFrame, n_salt: int = 16
+) -> DataFrame:
+    """Per-canonical-entity mention counts via two-phase salted aggregation.
+
+    Phase 1 shards each hot key across ``n_salt`` reducers; phase 2 merges
+    the partials. For a commutative count the result is identical to a
+    one-phase groupBy — the point is the shuffle shape at 10^12 rows
+    (reference has no analog: a single-JVM HashMap doesn't feel skew —
+    SURVEY.md §4.3.1).
+    """
+    m = (
+        mentions.filter(F.col("mention_type") != "literal")
+        .join(F.broadcast(alias_map), "norm_key", "left")
+        .withColumn("ck", F.coalesce("canonical_key", "norm_key"))
+        .withColumn("salt", F.pmod(F.xxhash64("conv_id", "turn_idx", "span_start"), F.lit(n_salt)))
+    )
+    partial = m.groupBy("ck", "salt").agg(F.count(F.lit(1)).alias("c"))
+    return partial.groupBy("ck").agg(F.sum("c").alias("n_mentions")).select(
+        F.col("ck").alias("canonical_key"), F.col("n_mentions").cast("long")
+    )
+
+
+def consensus_modality(canonical_triples: DataFrame) -> DataFrame:
+    """A4/G4 analog: per (subj, pred, obj), 'must' iff every conversation
+    mentioning the subject asserts the triple.
+
+    Reference trick (InterproceduralPDG.java:49-78): count agreeing
+    candidates, compare with candidate count; must survives only on
+    unanimity. Here: n_conv_asserting == n_conv_subj_total.
+    """
+    per_conv = canonical_triples.select("conv_id", "subj", "pred", "obj").distinct()
+    subj_convs = (
+        per_conv.select("conv_id", "subj")
+        .distinct()
+        .groupBy("subj")
+        .agg(F.count(F.lit(1)).alias("n_conv_subj"))
+    )
+    asserting = per_conv.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).alias("n_conv_asserting")
+    )
+    return asserting.join(subj_convs, "subj").select(
+        "subj",
+        "pred",
+        "obj",
+        "n_conv_asserting",
+        "n_conv_subj",
+        F.when(F.col("n_conv_asserting") == F.col("n_conv_subj"), F.lit("must"))
+        .otherwise(F.lit("may"))
+        .alias("modality"),
+    )

@@ -1,0 +1,97 @@
+"""Checkpointable stage sinks + run manifest (SURVEY.md §2.1 S4-S6, §3.3).
+
+The reference buffers the whole graph in RAM and flushes once, chunked into
+80k-op transactions (InfoToInsert.java:17-63,
+DriverLazyInsertionService.java:24-63). Its resumability story is the
+MERGING_ALLOWED re-attach (CompilationScheduler.java:33,47-60). Ours is
+stronger and explicit per the north rule: each stage materializes to an
+atomic snapshot; a manifest records completed stages so a killed run
+resumes at the first incomplete stage.
+
+Sink format: Iceberg when the runtime catalog is configured (the production
+path — atomic snapshot commits, hidden bucket(conv_id) partitioning,
+MERGE INTO for the re-compile path C4); otherwise a plain-parquet warehouse
+with the same atomicity contract, achieved by staging into ``<path>._tmp``
+and renaming — rename-as-commit. The sandbox has no Iceberg jars, so tests
+exercise the parquet path; the Iceberg branch is the same three lines with
+``writeTo(...)``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _has_iceberg(spark: SparkSession) -> bool:
+    try:
+        return (
+            spark.conf.get("spark.sql.catalog.pq", None) is not None
+        )
+    except Exception:
+        return False
+
+
+def write_stage(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Atomic stage write: stage to tmp dir, then rename into place."""
+    spark = df.sparkSession
+    if _has_iceberg(spark) and not path.startswith("/"):
+        # Iceberg table identifier (e.g. "pq.db.nodes"): atomic by snapshot
+        df.writeTo(path).createOrReplace()
+        return
+    tmp = path + "._tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+def read_stage(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+class Manifest:
+    """``_pipeline_state`` manifest: stage name -> {rows, wall_ms, at}."""
+
+    def __init__(self, warehouse: str, run_id: str | None = None):
+        self.warehouse = warehouse
+        self.path = os.path.join(warehouse, "_pipeline_state.json")
+        os.makedirs(warehouse, exist_ok=True)
+        self.state: dict = {"run_id": run_id or uuid.uuid4().hex[:12], "stages": {}}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                self.state = json.load(f)
+
+    @property
+    def run_id(self) -> str:
+        return self.state["run_id"]
+
+    def done(self, stage: str) -> bool:
+        return stage in self.state["stages"]
+
+    def record(self, stage: str, rows: int, wall_ms: int, extra: dict | None = None) -> None:
+        self.state["stages"][stage] = {
+            "rows": rows,
+            "wall_ms": wall_ms,
+            "at": time.time(),
+            **(extra or {}),
+        }
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.state, f, indent=1)
+        os.replace(tmp, self.path)
+
+    def reset(self) -> None:
+        self.state["stages"] = {}
+        if os.path.exists(self.path):
+            os.remove(self.path)

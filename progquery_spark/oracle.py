@@ -1,0 +1,376 @@
+"""DuckDB oracle SQL for the driver's correctness gate.
+
+Each function returns ANSI SQL runnable by DuckDB over the pre-registered
+parquet views. The oracles derive expected pipeline outputs **directly from
+the structured base tables** (span offsets by template-segment arithmetic,
+casing by the same deterministic CASE rules) — the Spark pipeline must
+recover identical values from the rendered transcript text. That makes the
+driver's value-hash comparison a true end-to-end extraction/linking/
+canonicalization parity check, the P/R>=0.95 discipline of BASELINE.json
+with P=R=1.0 as the actual bar.
+
+All column names and types are aligned with the Spark side (INT spans,
+BIGINT counts, BOOLEAN flags); SUMs are cast to BIGINT because DuckDB
+widens integer SUM to HUGEINT.
+"""
+
+from __future__ import annotations
+
+from .datagen import LINEITEM_RN, cust_cased, duckdb_transcripts_cte, supp_cased
+from .extraction import rules as R
+
+_L = {
+    "i0": len(R.INTRO_P0),
+    "i1": len(R.INTRO_P1),
+    "i2": len(R.INTRO_P2),
+    "i3": len(R.INTRO_P3),
+    "t0": len(R.ITEM_P0),
+    "t1": len(R.ITEM_P1),
+    "t2": len(R.ITEM_P2),
+    "t3": len(R.ITEM_P3),
+    "f0": len(R.FINAL_P0),
+    "f1": len(R.FINAL_P1),
+    "f2": len(R.FINAL_P2),
+}
+
+# --- shared CTEs ------------------------------------------------------------
+
+_BASE_CTES = f"""
+lrn AS ({LINEITEM_RN}),
+intro AS (
+  SELECT 'conv-' || CAST(o.o_orderkey AS VARCHAR) AS conv_id,
+         CAST(0 AS INT) AS turn_idx,
+         {cust_cased('o', 'c')} AS cust,
+         n.n_name AS nation,
+         CAST(o.o_orderkey AS VARCHAR) AS okey,
+         o.o_orderpriority AS prio
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n   ON n.n_nationkey = c.c_nationkey),
+item AS (
+  SELECT 'conv-' || CAST(l.l_orderkey AS VARCHAR) AS conv_id,
+         l.rn AS turn_idx,
+         CAST(l.rn AS VARCHAR) AS ln,
+         CAST(CAST(floor(l.l_quantity) AS BIGINT) AS VARCHAR) AS qty,
+         p.p_name AS part,
+         {supp_cased('l', 's')} AS supp,
+         CAST(l.l_orderkey AS VARCHAR) AS okey
+  FROM lrn l
+  JOIN part p     ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey),
+fin AS (
+  SELECT 'conv-' || CAST(o.o_orderkey AS VARCHAR) AS conv_id,
+         CAST(m.cnt + 1 AS INT) AS turn_idx,
+         CAST(o.o_orderkey AS VARCHAR) AS okey,
+         CAST(CAST(floor(o.o_totalprice) AS BIGINT) AS VARCHAR) AS total,
+         o.o_orderstatus AS status
+  FROM orders o
+  JOIN (SELECT l_orderkey, CAST(COUNT(*) AS INT) AS cnt
+        FROM lineitem GROUP BY l_orderkey) m
+    ON m.l_orderkey = o.o_orderkey)
+"""
+
+_MENTIONS_CTE = f"""
+mentions AS (
+  SELECT conv_id, turn_idx, 'customer' AS mention_type, cust AS surface,
+         'customer:' || lower(cust) AS norm_key,
+         CAST({_L['i0']} AS INT) AS span_start,
+         CAST({_L['i0']} + length(cust) AS INT) AS span_end,
+         TRUE AS is_decl
+  FROM intro
+  UNION ALL
+  SELECT conv_id, turn_idx, 'nation', nation,
+         'nation:' || lower(nation),
+         CAST({_L['i0']} + length(cust) + {_L['i1']} AS INT),
+         CAST({_L['i0']} + length(cust) + {_L['i1']} + length(nation) AS INT),
+         FALSE
+  FROM intro
+  UNION ALL
+  SELECT conv_id, turn_idx, 'order', okey,
+         'order:' || okey,
+         CAST({_L['i0']} + length(cust) + {_L['i1']} + length(nation) + {_L['i2']} AS INT),
+         CAST({_L['i0']} + length(cust) + {_L['i1']} + length(nation) + {_L['i2']} + length(okey) AS INT),
+         TRUE
+  FROM intro
+  UNION ALL
+  SELECT conv_id, turn_idx, 'literal', prio,
+         'lit:' || prio,
+         CAST({_L['i0']} + length(cust) + {_L['i1']} + length(nation) + {_L['i2']} + length(okey) + {_L['i3']} AS INT),
+         CAST({_L['i0']} + length(cust) + {_L['i1']} + length(nation) + {_L['i2']} + length(okey) + {_L['i3']} + length(prio) AS INT),
+         FALSE
+  FROM intro
+  UNION ALL
+  SELECT conv_id, turn_idx, 'part', part,
+         'part:' || lower(part),
+         CAST({_L['t0']} + length(ln) + {_L['t1']} + length(qty) + {_L['t2']} AS INT),
+         CAST({_L['t0']} + length(ln) + {_L['t1']} + length(qty) + {_L['t2']} + length(part) AS INT),
+         FALSE
+  FROM item
+  UNION ALL
+  SELECT conv_id, turn_idx, 'supplier', supp,
+         'supplier:' || lower(supp),
+         CAST({_L['t0']} + length(ln) + {_L['t1']} + length(qty) + {_L['t2']} + length(part) + {_L['t3']} AS INT),
+         CAST({_L['t0']} + length(ln) + {_L['t1']} + length(qty) + {_L['t2']} + length(part) + {_L['t3']} + length(supp) AS INT),
+         FALSE
+  FROM item
+  UNION ALL
+  SELECT conv_id, turn_idx, 'order', okey,
+         'order:' || okey,
+         CAST({_L['f0']} AS INT),
+         CAST({_L['f0']} + length(okey) AS INT),
+         TRUE
+  FROM fin
+  UNION ALL
+  SELECT conv_id, turn_idx, 'literal', total,
+         'lit:' || total,
+         CAST({_L['f0']} + length(okey) + {_L['f1']} AS INT),
+         CAST({_L['f0']} + length(okey) + {_L['f1']} + length(total) AS INT),
+         FALSE
+  FROM fin
+  UNION ALL
+  SELECT conv_id, turn_idx, 'literal', status,
+         'lit:' || status,
+         CAST({_L['f0']} + length(okey) + {_L['f1']} + length(total) + {_L['f2']} AS INT),
+         CAST({_L['f0']} + length(okey) + {_L['f1']} + length(total) + {_L['f2']} + 1 AS INT),
+         FALSE
+  FROM fin
+)
+"""
+
+_TRIPLES_CTE = f"""
+triples_raw AS (
+  SELECT conv_id, turn_idx,
+         'customer:' || cust AS subj, 'from_nation' AS pred,
+         'nation:' || nation AS obj,
+         CAST(NULL AS INT) AS ordinal,
+         CAST({_L['i0']} + length(cust) + {_L['i1']} AS INT) AS span_start,
+         CAST({_L['i0']} + length(cust) + {_L['i1']} + length(nation) AS INT) AS span_end
+  FROM intro
+  UNION ALL
+  SELECT conv_id, turn_idx,
+         'customer:' || cust, 'placed', 'order:' || okey, CAST(NULL AS INT),
+         CAST({_L['i0']} + length(cust) + {_L['i1']} + length(nation) + {_L['i2']} AS INT),
+         CAST({_L['i0']} + length(cust) + {_L['i1']} + length(nation) + {_L['i2']} + length(okey) AS INT)
+  FROM intro
+  UNION ALL
+  SELECT conv_id, turn_idx,
+         'order:' || okey, 'has_priority', prio, CAST(NULL AS INT),
+         CAST({_L['i0']} + length(cust) + {_L['i1']} + length(nation) + {_L['i2']} + length(okey) + {_L['i3']} AS INT),
+         CAST({_L['i0']} + length(cust) + {_L['i1']} + length(nation) + {_L['i2']} + length(okey) + {_L['i3']} + length(prio) AS INT)
+  FROM intro
+  UNION ALL
+  SELECT conv_id, turn_idx,
+         'order:' || okey, 'includes', 'part:' || part, CAST(ln AS INT),
+         CAST({_L['t0']} + length(ln) + {_L['t1']} + length(qty) + {_L['t2']} AS INT),
+         CAST({_L['t0']} + length(ln) + {_L['t1']} + length(qty) + {_L['t2']} + length(part) AS INT)
+  FROM item
+  UNION ALL
+  SELECT conv_id, turn_idx,
+         'part:' || part, 'supplied_by', 'supplier:' || supp, CAST(NULL AS INT),
+         CAST({_L['t0']} + length(ln) + {_L['t1']} + length(qty) + {_L['t2']} + length(part) + {_L['t3']} AS INT),
+         CAST({_L['t0']} + length(ln) + {_L['t1']} + length(qty) + {_L['t2']} + length(part) + {_L['t3']} + length(supp) AS INT)
+  FROM item
+  UNION ALL
+  SELECT conv_id, turn_idx,
+         'order:' || okey, 'has_total', total, CAST(NULL AS INT),
+         CAST({_L['f0']} + length(okey) + {_L['f1']} AS INT),
+         CAST({_L['f0']} + length(okey) + {_L['f1']} + length(total) AS INT)
+  FROM fin
+  UNION ALL
+  SELECT conv_id, turn_idx,
+         'order:' || okey, 'has_status', status, CAST(NULL AS INT),
+         CAST({_L['f0']} + length(okey) + {_L['f1']} + length(total) + {_L['f2']} AS INT),
+         CAST({_L['f0']} + length(okey) + {_L['f1']} + length(total) + {_L['f2']} + 1 AS INT)
+  FROM fin
+)
+"""
+
+_ENTITY_PREDS = "('from_nation','placed','includes','supplied_by')"
+
+_TRIPLES_CANON_CTE = f"""
+triples_canon AS (
+  SELECT conv_id, turn_idx, lower(subj) AS subj, pred,
+         CASE WHEN pred IN {_ENTITY_PREDS} THEN lower(obj) ELSE obj END AS obj,
+         ordinal, span_start, span_end
+  FROM triples_raw
+)
+"""
+
+
+def _with(*ctes: str, select: str) -> str:
+    return "WITH " + ",\n".join(c.strip().strip(",") for c in ctes) + "\n" + select
+
+
+def transcripts_sql() -> str:
+    return (
+        duckdb_transcripts_cte()
+        + " SELECT conv_id, turn_idx, role, text, tool, ts_epoch FROM transcripts"
+    )
+
+
+def mentions_sql() -> str:
+    return _with(
+        _BASE_CTES,
+        _MENTIONS_CTE,
+        select="SELECT conv_id, turn_idx, mention_type, surface, norm_key, "
+        "span_start, span_end, is_decl FROM mentions",
+    )
+
+
+def triples_raw_sql() -> str:
+    return _with(
+        _BASE_CTES,
+        _TRIPLES_CTE,
+        select="SELECT conv_id, turn_idx, subj, pred, obj, ordinal, "
+        "span_start, span_end FROM triples_raw",
+    )
+
+
+def triples_canonical_sql() -> str:
+    return _with(
+        _BASE_CTES,
+        _TRIPLES_CTE,
+        _TRIPLES_CANON_CTE,
+        select="SELECT conv_id, turn_idx, subj, pred, obj, ordinal, "
+        "span_start, span_end FROM triples_canon",
+    )
+
+
+def entities_sql() -> str:
+    return _with(
+        _BASE_CTES,
+        _MENTIONS_CTE,
+        select="""
+        SELECT norm_key, mention_type, MIN(surface) AS name,
+               MAX(is_decl) AS is_declared,
+               COUNT(*) AS n_mentions,
+               COUNT(DISTINCT surface) AS n_surfaces
+        FROM mentions
+        WHERE mention_type <> 'literal'
+        GROUP BY norm_key, mention_type
+        """,
+    )
+
+
+def alias_map_sql() -> str:
+    # exact-alias input => CC must produce the identity map (C2 invariant)
+    return _with(
+        _BASE_CTES,
+        _MENTIONS_CTE,
+        select="""
+        SELECT DISTINCT norm_key, norm_key AS canonical_key
+        FROM mentions WHERE mention_type <> 'literal'
+        """,
+    )
+
+
+def node_counts_sql() -> str:
+    return _with(
+        _BASE_CTES,
+        _MENTIONS_CTE,
+        select="""
+        SELECT 'CONVERSATION' AS node_type, COUNT(*) AS n FROM (SELECT DISTINCT conv_id FROM mentions)
+        UNION ALL
+        SELECT 'TURN', COUNT(*) FROM (SELECT DISTINCT conv_id, turn_idx FROM mentions)
+        UNION ALL
+        SELECT 'MENTION', COUNT(*) FROM mentions
+        UNION ALL
+        SELECT upper(mention_type), COUNT(DISTINCT norm_key) FROM mentions
+        WHERE mention_type <> 'literal' GROUP BY upper(mention_type)
+        UNION ALL
+        SELECT 'LITERAL', COUNT(DISTINCT norm_key) FROM mentions WHERE mention_type = 'literal'
+        """,
+    )
+
+
+def edge_counts_sql() -> str:
+    # semantic edge counts = distinct (subj, obj, ordinal) per pred;
+    # structure/link counts from mention cardinalities; flow counts via
+    # windows over the transcripts CTE
+    tcte = duckdb_transcripts_cte().replace("WITH ", "")
+    return _with(
+        tcte,
+        _BASE_CTES,
+        _MENTIONS_CTE,
+        _TRIPLES_CTE,
+        _TRIPLES_CANON_CTE,
+        select="""
+        SELECT 'STRUCTURE' AS rel_graph, 'HAS_TURN' AS rel_type, COUNT(*) AS n FROM transcripts
+        UNION ALL
+        SELECT 'STRUCTURE', 'HAS_MENTION', COUNT(*) FROM mentions
+        UNION ALL
+        SELECT 'LINK', 'REFERS_TO', COUNT(*) FROM mentions WHERE mention_type <> 'literal'
+        UNION ALL
+        SELECT 'SEMANTIC', pred, COUNT(*) FROM
+          (SELECT DISTINCT subj, obj, ordinal, pred FROM triples_canon) GROUP BY pred
+        UNION ALL
+        SELECT 'FLOW', 'NEXT_TURN', COUNT(*) FROM
+          (SELECT conv_id, turn_idx,
+                  LEAD(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nx
+           FROM transcripts) WHERE nx IS NOT NULL
+        UNION ALL
+        SELECT 'FLOW', 'NEXT_TURN_SAME_ROLE', COUNT(*) FROM
+          (SELECT conv_id, turn_idx,
+                  LEAD(turn_idx) OVER (PARTITION BY conv_id, role ORDER BY turn_idx) AS nx
+           FROM transcripts) WHERE nx IS NOT NULL
+        UNION ALL
+        SELECT 'FLOW', 'REPLIES_TO', COUNT(*) FROM
+          (SELECT conv_id, turn_idx, role,
+                  MAX(CASE WHEN role='user' THEN turn_idx END)
+                    OVER (PARTITION BY conv_id ORDER BY turn_idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pu
+           FROM transcripts) WHERE role <> 'user' AND pu IS NOT NULL
+        UNION ALL
+        SELECT 'FLOW', 'TOOL_RESULT_OF', COUNT(*) FROM
+          (SELECT conv_id, turn_idx, role,
+                  LAG(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pv
+           FROM transcripts) WHERE role = 'tool' AND pv IS NOT NULL
+        """,
+    )
+
+
+def modality_sql() -> str:
+    extra = """
+    per_conv AS (SELECT DISTINCT conv_id, subj, pred, obj FROM triples_canon),
+    subj_convs AS (SELECT subj, COUNT(*) AS n_conv_subj FROM
+                    (SELECT DISTINCT conv_id, subj FROM per_conv) GROUP BY subj),
+    asserting AS (SELECT subj, pred, obj, COUNT(*) AS n_conv_asserting
+                  FROM per_conv GROUP BY subj, pred, obj)
+    """
+    return _with(
+        _BASE_CTES,
+        _TRIPLES_CTE,
+        _TRIPLES_CANON_CTE,
+        extra,
+        select="""
+        SELECT a.subj, a.pred, a.obj, a.n_conv_asserting, s.n_conv_subj,
+               CASE WHEN a.n_conv_asserting = s.n_conv_subj THEN 'must' ELSE 'may' END AS modality
+        FROM asserting a JOIN subj_convs s ON s.subj = a.subj
+        """,
+    )
+
+
+def mention_counts_sql() -> str:
+    return _with(
+        _BASE_CTES,
+        _MENTIONS_CTE,
+        select="""
+        SELECT norm_key AS canonical_key, COUNT(*) AS n_mentions
+        FROM mentions WHERE mention_type <> 'literal'
+        GROUP BY norm_key
+        """,
+    )
+
+
+def next_turn_sql() -> str:
+    return (
+        duckdb_transcripts_cte()
+        + """
+        SELECT conv_id, turn_idx, nx AS next_turn_idx, role, nrole AS next_role FROM
+          (SELECT conv_id, turn_idx, role,
+                  LEAD(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nx,
+                  LEAD(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nrole
+           FROM transcripts) t
+        WHERE nx IS NOT NULL
+        """
+    )

@@ -1,0 +1,166 @@
+"""End-to-end KG-construction pipeline with per-stage checkpoints + lineage.
+
+Stage DAG (mirrors the reference lifecycle, SURVEY.md §3.1: per-CU
+extraction -> endAnalysis global passes -> flush; the strict phase
+separation is what licenses per-stage checkpointing):
+
+    transcripts            (source / synthesis)
+      -> extraction        (mapInPandas, mentions+triples in one pass)
+      -> entities          (exact linking + placeholder synthesis, J1-J4)
+      -> alias_map         (alias graph -> CC -> canonical map, J5/C1-C2)
+      -> triples_canonical (endpoint remap)
+      -> nodes / edges     (materialization incl. flow edges, G1)
+      -> modality          (consensus may/must, A4/G4)
+      -> mention_counts    (salted two-phase agg, §4.3.1)
+
+Each stage writes an atomic snapshot under the warehouse dir and records
+itself in the manifest; ``run(..., resume=True)`` skips completed stages by
+reading their snapshots — the kill-between-any-two-stages test drives this.
+Per-stage lineage rows (run_id, stage, partition_id, rows_out, wall_ms) are
+appended to ``_lineage``.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .canonicalize.cc import canonical_map, connected_components
+from .canonicalize.remap import canonicalize_triples
+from .datagen import build_transcripts
+from .extraction.extract import extract, mentions_of, triples_of
+from .graph.materialize import build_edges, build_nodes
+from .graph.passes import consensus_modality, flow_edges, salted_mention_counts
+from .io.sinks import Manifest, read_stage, write_stage
+from .linking.exact import alias_edges_exact, link_entities
+
+STAGES = (
+    "transcripts",
+    "extraction",
+    "entities",
+    "alias_map",
+    "triples_canonical",
+    "nodes",
+    "edges",
+    "modality",
+    "mention_counts",
+)
+
+
+class Pipeline:
+    def __init__(self, spark: SparkSession, warehouse: str, lineage: bool = True):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.lineage = lineage
+        self.manifest = Manifest(warehouse)
+
+    # -- plumbing -----------------------------------------------------------
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.warehouse, stage)
+
+    def _materialize(self, stage: str, df: DataFrame, partition_by=None) -> DataFrame:
+        t0 = time.time()
+        write_stage(df, self._path(stage), partition_by)
+        out = read_stage(self.spark, self._path(stage))
+        rows = out.count()
+        wall_ms = int((time.time() - t0) * 1000)
+        self.manifest.record(stage, rows, wall_ms)
+        if self.lineage:
+            self._record_lineage(stage, out, wall_ms)
+        return out
+
+    def _record_lineage(self, stage: str, df: DataFrame, wall_ms: int) -> None:
+        lin = (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("rows_out"))
+            .select(
+                F.lit(self.manifest.run_id).alias("run_id"),
+                F.lit(stage).alias("stage"),
+                F.col("partition_id"),
+                F.lit(None).cast("long").alias("input_rows"),
+                F.col("rows_out").cast("long"),
+                F.lit(wall_ms).cast("long").alias("wall_ms"),
+            )
+        )
+        lin.write.mode("append").parquet(os.path.join(self.warehouse, "_lineage"))
+
+    def _load(self, stage: str) -> DataFrame:
+        return read_stage(self.spark, self._path(stage))
+
+    def _stage(self, stage: str, fn, resume: bool, partition_by=None) -> DataFrame:
+        if resume and self.manifest.done(stage) and os.path.exists(self._path(stage)):
+            return self._load(stage)
+        return self._materialize(stage, fn(), partition_by)
+
+    # -- the run ------------------------------------------------------------
+    def run(
+        self,
+        sf_dir: str | None = None,
+        transcripts: DataFrame | None = None,
+        resume: bool = True,
+        fuzzy_edges: DataFrame | None = None,
+    ) -> dict[str, DataFrame]:
+        """Run all stages; returns {stage: DataFrame} of materialized outputs.
+
+        ``transcripts`` overrides synthesis (tests feed fixture frames);
+        ``fuzzy_edges`` optionally unions extra norm<->norm alias edges from
+        the MinHash-LSH stage into the CC graph.
+        """
+        if not resume:
+            self.manifest.reset()
+
+        tr = self._stage(
+            "transcripts",
+            lambda: transcripts
+            if transcripts is not None
+            else build_transcripts(self.spark, sf_dir),
+            resume,
+        )
+        ex = self._stage("extraction", lambda: extract(tr), resume)
+        mentions = mentions_of(ex)
+        triples = triples_of(ex)
+
+        entities = self._stage("entities", lambda: link_entities(mentions), resume)
+
+        def _alias_map() -> DataFrame:
+            edges = alias_edges_exact(mentions)
+            if fuzzy_edges is not None:
+                edges = edges.unionByName(fuzzy_edges)
+            labels, rounds = connected_components(edges)
+            amap = canonical_map(labels, entities.select("norm_key"))
+            self.manifest.record("_cc_rounds", rounds, 0)
+            return amap
+
+        amap = self._stage("alias_map", _alias_map, resume)
+
+        tcanon = self._stage(
+            "triples_canonical", lambda: canonicalize_triples(triples, amap), resume
+        )
+        nodes = self._stage(
+            "nodes", lambda: build_nodes(tr, mentions, entities, amap), resume
+        )
+        edges = self._stage(
+            "edges",
+            lambda: build_edges(tr, mentions, tcanon, amap).unionByName(
+                flow_edges(tr)
+            ),
+            resume,
+        )
+        modality = self._stage("modality", lambda: consensus_modality(tcanon), resume)
+        mcounts = self._stage(
+            "mention_counts", lambda: salted_mention_counts(mentions, amap), resume
+        )
+        return {
+            "transcripts": tr,
+            "extraction": ex,
+            "entities": entities,
+            "alias_map": amap,
+            "triples_canonical": tcanon,
+            "nodes": nodes,
+            "edges": edges,
+            "modality": modality,
+            "mention_counts": mcounts,
+        }

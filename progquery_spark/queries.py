@@ -1,0 +1,165 @@
+"""Driver-facing correctness queries (SURVEY.md §2 operator inventory).
+
+Each callable takes (spark, sf_dir) and returns a DataFrame whose columns /
+types align exactly with the matching ``oracle.*_sql()`` DuckDB query.
+Every query is a lazy composition of the real pipeline stages — nothing is
+special-cased for the oracle; the driver's value-hash compare therefore
+certifies the production code path.
+
+Inventory mapping (SURVEY.md §2):
+  kg_transcripts        S2/S3  source synthesis (conv reassembly input)
+  kg_mentions           E1-E10 mention detection
+  kg_triples_raw        E1-E10 (subj, pred, obj) emission w/ spans+ordinal
+  kg_entities           J1-J4  exact linking + placeholder synthesis
+  kg_alias_map          J5/C2  CC canonicalization (exact == identity)
+  kg_triples_canonical  C1     endpoint remap through alias map
+  kg_node_counts        S4/§1  node materialization (typed + hypernyms)
+  kg_edge_counts        S4/C3  edge materialization + dedup + flow (G1)
+  kg_next_turn          G1     CFG-analog sequential threading
+  kg_modality           A4/G4  consensus may/must
+  kg_mention_counts     §4.3.1 salted two-phase aggregation
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .canonicalize.cc import canonical_map, connected_components
+from .canonicalize.remap import canonicalize_triples
+from .datagen import build_transcripts
+from .extraction.extract import extract, mentions_of, triples_of
+from .graph.materialize import build_edges, build_nodes
+from .graph.passes import consensus_modality, flow_edges, salted_mention_counts
+from .linking.exact import alias_edges_exact, link_entities
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_transcripts(spark, sf_dir)
+
+
+def _extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract(_transcripts(spark, sf_dir))
+
+
+def _alias_map(mentions: DataFrame, entities: DataFrame) -> DataFrame:
+    labels, _ = connected_components(alias_edges_exact(mentions))
+    return canonical_map(labels, entities.select("norm_key"))
+
+
+def q_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _transcripts(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+
+
+def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mentions_of(_extraction(spark, sf_dir))
+
+
+def q_triples_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triples_of(_extraction(spark, sf_dir))
+
+
+def q_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return link_entities(mentions_of(_extraction(spark, sf_dir)))
+
+
+def q_alias_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = mentions_of(_extraction(spark, sf_dir))
+    return _alias_map(m, link_entities(m))
+
+
+def q_triples_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = _extraction(spark, sf_dir)
+    m = mentions_of(ex)
+    amap = _alias_map(m, link_entities(m))
+    return canonicalize_triples(triples_of(ex), amap)
+
+
+def q_node_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _transcripts(spark, sf_dir)
+    ex = extract(tr)
+    m = mentions_of(ex)
+    ents = link_entities(m)
+    amap = _alias_map(m, ents)
+    nodes = build_nodes(tr, m, ents, amap)
+    return nodes.groupBy("node_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_edge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _transcripts(spark, sf_dir)
+    ex = extract(tr)
+    m = mentions_of(ex)
+    ents = link_entities(m)
+    amap = _alias_map(m, ents)
+    tcanon = canonicalize_triples(triples_of(ex), amap)
+    edges = build_edges(tr, m, tcanon, amap).unionByName(flow_edges(tr))
+    return edges.groupBy("rel_graph", "rel_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_next_turn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        tr.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.lead("turn_idx").over(w).alias("next_turn_idx"),
+            F.lead("role").over(w).alias("next_role"),
+        )
+        .filter(F.col("next_turn_idx").isNotNull())
+        .select("conv_id", "turn_idx", "next_turn_idx", "role", "next_role")
+    )
+
+
+def q_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return consensus_modality(q_triples_canonical(spark, sf_dir))
+
+
+def q_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = mentions_of(_extraction(spark, sf_dir))
+    amap = _alias_map(m, link_entities(m))
+    return salted_mention_counts(m, amap)
+
+
+def kg_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "kg_transcripts": q_transcripts,
+        "kg_mentions": q_mentions,
+        "kg_triples_raw": q_triples_raw,
+        "kg_entities": q_entities,
+        "kg_alias_map": q_alias_map,
+        "kg_triples_canonical": q_triples_canonical,
+        "kg_node_counts": q_node_counts,
+        "kg_edge_counts": q_edge_counts,
+        "kg_next_turn": q_next_turn,
+        "kg_modality": q_modality,
+        "kg_mention_counts": q_mention_counts,
+    }
+
+
+def kg_oracles() -> dict[str, str]:
+    from . import oracle as O
+
+    return {
+        "kg_transcripts": O.transcripts_sql(),
+        "kg_mentions": O.mentions_sql(),
+        "kg_triples_raw": O.triples_raw_sql(),
+        "kg_entities": O.entities_sql(),
+        "kg_alias_map": O.alias_map_sql(),
+        "kg_triples_canonical": O.triples_canonical_sql(),
+        "kg_node_counts": O.node_counts_sql(),
+        "kg_edge_counts": O.edge_counts_sql(),
+        "kg_next_turn": O.next_turn_sql(),
+        "kg_modality": O.modality_sql(),
+        "kg_mention_counts": O.mention_counts_sql(),
+    }
