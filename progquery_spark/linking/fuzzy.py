@@ -1,0 +1,205 @@
+"""Fuzzy entity linking: MinHash-LSH blocking + exact-Jaccard verification
+(SURVEY.md §2.3 closing note — the Spark-native generalization of the
+reference's exact-key lookup that the north star adds on top).
+
+Pipeline (all built-in expressions, zero Python UDFs):
+
+  1. shingle   — character k-grams of the entity name (array_distinct)
+  2. minhash   — P permutations h_i(x) = (a_i * x + b_i) mod M over
+                 xxhash64(shingle); signature = array of per-perm minima
+  3. band      — split signature into B bands, hash each band,
+                 posexplode -> (band_idx, band_hash) blocking keys
+  4. bucket-join — self-join within blocks (same mention_type only),
+                 a < b to kill mirror/self pairs
+  5. verify    — structure-aware scoring: entity names are compound keys
+                 (alpha head + digit id), mirroring the reference's compound
+                 fullyQualifiedName keys (owner:name(params) —
+                 utils/MethodNameInfo.java:20-32). The digit part is a
+                 *strong key* that must agree exactly (a one-digit
+                 difference means a different entity, not a typo); the
+                 alpha head is scored with normalized Levenshtein
+                 similarity (Spark built-in). Names without digits fall
+                 back to whole-name edit similarity. Exact shingle Jaccard
+                 is also computed and exposed for diagnostics.
+
+Skew controls: blocking buckets are capped (a band-hash shared by > cap
+entities is dropped with a metric — hot buckets come from ultra-common
+shingle patterns and contribute near-duplicate-noise pairs, not signal);
+the self-join is an equi-join on (band_idx, band_hash) so AQE skew
+splitting applies to what remains.
+
+Determinism: permutation constants are fixed literals; candidate pairs are
+dropDuplicates'd and scored with exact Jaccard, so LSH randomness can only
+affect *recall*, never scores — combined with min-key canonicalization in
+CC this keeps P/R parity stable (SURVEY.md §7.3.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# LCG-style permutation constants (fixed; generated once from a seeded PRNG
+# and frozen here as literals so every run and every engine agrees).
+# Mersenne prime 2^31-1: keeps a*h+b < 2^62, safe under Spark 4's default
+# ANSI overflow checking (and identical semantics in DuckDB, which raises
+# on BIGINT overflow — relevant for the oracle-mirrored dedup ops).
+_M = (1 << 31) - 1
+_A = [
+    5915587277, 1500450271, 3267000013, 5754853343, 4093082899, 9576890767,
+    3628273133, 2860486313, 5463458053, 3367900313, 5654500741, 4759123141,
+    3419974709, 2038074743, 6620830889, 7146970983, 2624723669, 9344353967,
+    4421467219, 6011903479, 3373167481, 8861930383, 6516841331, 4589131771,
+    9749479103, 2305843009, 4611686011, 7036874417, 5577006791, 8674665223,
+    6129484611, 4037200794,
+]
+_B = [
+    7816490313, 2712059301, 9223372036, 1865811549, 4443749221, 3142597265,
+    8501220953, 6247298041, 1110796069, 9933280251, 7081380773, 2428777381,
+    5720438811, 3845696987, 1689743569, 8036694617, 4906285211, 2641381843,
+    7561189883, 3356806841, 9120586721, 1847722377, 6354729467, 4468112801,
+    2983174419, 8792615189, 5307057683, 1621500297, 7435942911, 3250385525,
+    9064828139, 4879270753,
+]
+# reduce into the field (a ∈ [1, M), b ∈ [0, M))
+_A = [a % _M or 1 for a in _A]
+_B = [b % _M for b in _B]
+
+
+def shingles(name_col, k: int = 3):
+    """Distinct character k-grams (padded so short names still shingle)."""
+    padded = F.concat(F.lit("^"), F.lower(name_col), F.lit("$"))
+    n = F.greatest(F.length(padded) - (k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substr(padded, i, F.lit(k)))
+    )
+
+
+def minhash_signature(shingle_col, num_perm: int = 16):
+    """Array of per-permutation minima over xxhash64'd shingles,
+    all arithmetic within the 2^31-1 field (no bigint overflow)."""
+    hashed = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_M)))
+    return F.transform(
+        F.array(*[F.struct(F.lit(_A[i]).alias("a"), F.lit(_B[i]).alias("b")) for i in range(num_perm)]),
+        lambda p: F.array_min(
+            F.transform(hashed, lambda h: F.pmod(p.a * h + p.b, F.lit(_M)))
+        ),
+    )
+
+
+def candidate_pairs(
+    entities: DataFrame,
+    name_col: str = "name",
+    key_col: str = "norm_key",
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 8,
+    bucket_cap: int = 200,
+) -> DataFrame:
+    """LSH-blocked candidate pairs: (key_a, key_b, type) with key_a < key_b."""
+    rows_per_band = num_perm // bands
+    sig = (
+        entities.select(
+            F.col(key_col).alias("key"),
+            F.col("mention_type").alias("mtype"),
+            F.lower(F.col(name_col)).alias("nm"),
+            shingles(F.col(name_col), k).alias("sh"),
+        )
+        .withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+    )
+    banded = sig.select(
+        "key",
+        "mtype",
+        "sh",
+        "nm",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    # hot-bucket cap (count, filter) — a window keeps it to one shuffle
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("mtype", "band_idx", "band_hash")
+    banded = banded.withColumn("bucket_n", F.count(F.lit(1)).over(w)).filter(
+        F.col("bucket_n") <= bucket_cap
+    )
+    a = banded.select(
+        "mtype",
+        "band_idx",
+        "band_hash",
+        F.col("key").alias("key_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("nm").alias("nm_a"),
+    )
+    b = banded.select(
+        "mtype",
+        "band_idx",
+        "band_hash",
+        F.col("key").alias("key_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("nm").alias("nm_b"),
+    )
+    return (
+        a.join(b, ["mtype", "band_idx", "band_hash"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("mtype", "key_a", "key_b", "sh_a", "sh_b", "nm_a", "nm_b")
+        .dropDuplicates(["key_a", "key_b"])
+    )
+
+
+def fuzzy_alias_edges(
+    entities: DataFrame,
+    threshold: float = 0.8,
+    name_col: str = "name",
+    key_col: str = "norm_key",
+    **lsh_kwargs,
+) -> DataFrame:
+    """norm<->norm alias edges passing structure-aware verification.
+
+    Verification rule (see module docstring): digit suffixes must agree
+    exactly; the alpha residue is scored by normalized Levenshtein
+    similarity >= threshold. Both signals are Spark built-ins — the whole
+    fuzzy layer stays JVM-side.
+    """
+    pairs = candidate_pairs(entities, name_col, key_col, **lsh_kwargs)
+
+    def digits(c):
+        return F.regexp_replace(c, "[^0-9]", "")
+
+    def alpha(c):
+        return F.regexp_replace(c, "[^a-z]", "")
+
+    scored = (
+        pairs.withColumn("dig_a", digits("nm_a"))
+        .withColumn("dig_b", digits("nm_b"))
+        .withColumn(
+            "head_a",
+            F.when(F.col("dig_a") == "", F.col("nm_a")).otherwise(alpha("nm_a")),
+        )
+        .withColumn(
+            "head_b",
+            F.when(F.col("dig_b") == "", F.col("nm_b")).otherwise(alpha("nm_b")),
+        )
+        .withColumn(
+            "edit_sim",
+            F.lit(1.0)
+            - F.levenshtein("head_a", "head_b")
+            / F.greatest(F.length("head_a"), F.length("head_b")),
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+    )
+    return (
+        scored.filter(
+            (F.col("dig_a") == F.col("dig_b")) & (F.col("edit_sim") >= threshold)
+        )
+        .select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
+    )

@@ -1,0 +1,112 @@
+"""Golden + invariance tests for the extraction stage (FIXTURES.md §4:
+t-extract-golden, t-order-invariance, t-forward-ref)."""
+
+import pyspark.sql.functions as F
+
+from progquery_spark.extraction.extract import extract, mentions_of, triples_of
+from progquery_spark.fixtures import make_fixture, to_spark
+from progquery_spark.canonicalize.cc import canonical_map, connected_components
+from progquery_spark.canonicalize.remap import canonicalize_triples
+from progquery_spark.linking.exact import alias_edges_exact, link_entities
+
+
+def _canonical_triples(spark, tr, fuzzy=None):
+    ex = extract(tr)
+    m = mentions_of(ex)
+    ents = link_entities(m)
+    edges = alias_edges_exact(m)
+    if fuzzy is not None:
+        edges = edges.unionByName(fuzzy)
+    labels, _ = connected_components(edges)
+    amap = canonical_map(labels, ents.select("norm_key"))
+    return canonicalize_triples(triples_of(ex), amap)
+
+
+def _triple_set(df):
+    return {
+        (r["conv_id"], r["turn_idx"], r["subj"], r["pred"], r["obj"])
+        for r in df.collect()
+    }
+
+
+def test_extract_golden(spark):
+    fx = make_fixture(n_convs=8)
+    tr = to_spark(spark, fx)
+    got = _triple_set(_canonical_triples(spark, tr))
+    assert got == set(fx.expected_triples)
+
+
+def test_text_byte_equality(spark):
+    """Per-turn text survives the shuffle+Arrow round trip byte-identically,
+    including emoji/newlines (BASELINE.json per-row invariant)."""
+    fx = make_fixture(n_convs=2)
+    fx.rows[1]["text"] = "emoji \U0001f600é\n newline \t tab 中文"
+    tr = to_spark(spark, fx)
+    round_trip = (
+        tr.repartition(4, "conv_id")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .mapInPandas(lambda it: it, tr.schema)
+    )
+    orig = {(r["conv_id"], r["turn_idx"]): r["text"] for r in tr.collect()}
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in round_trip.collect()}
+    assert orig == got
+
+
+def test_order_invariance(spark):
+    fx = make_fixture(n_convs=6)
+    tr = to_spark(spark, fx)
+    shuffled = tr.orderBy(F.rand(seed=7))
+    a = {tuple(r) for r in extract(tr).collect()}
+    b = {tuple(r) for r in extract(shuffled).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_forward_ref(spark):
+    """Items referencing an order key declared only in a LATER turn must
+    still resolve (batch extract-then-link dissolves arrival order)."""
+    fx = make_fixture(n_convs=6, forward_ref=True)
+    tr = to_spark(spark, fx)
+    got = _triple_set(_canonical_triples(spark, tr))
+    assert got == set(fx.expected_triples)
+
+
+def test_small_batch_carryover(spark):
+    """Conversations straddling Arrow batches must not lose context: force
+    tiny batches so every conversation spans several."""
+    fx = make_fixture(n_convs=6, max_items=8)
+    tr = to_spark(spark, fx)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        got = _triple_set(_canonical_triples(spark, tr))
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    assert got == set(fx.expected_triples)
+
+
+def test_duplicate_trap_dedup(spark):
+    """Same fact stated twice -> triples keep provenance rows, but the
+    semantic edge table dedups on (src, dst, rel_type, ordinal) (C3)."""
+    from progquery_spark.graph.materialize import build_edges, build_nodes
+    from progquery_spark.linking.exact import link_entities
+
+    fx = make_fixture(n_convs=4, duplicate_traps=True)
+    tr = to_spark(spark, fx)
+    ex = extract(tr)
+    m = mentions_of(ex)
+    ents = link_entities(m)
+    labels, _ = connected_components(alias_edges_exact(m))
+    amap = canonical_map(labels, ents.select("norm_key"))
+    tcanon = canonicalize_triples(triples_of(ex), amap)
+    edges = build_edges(tr, m, tcanon, amap)
+    sem = edges.filter(F.col("rel_graph") == "SEMANTIC")
+    n = sem.count()
+    n_distinct = sem.dropDuplicates(["src_id", "dst_id", "rel_type", "ordinal"]).count()
+    assert n == n_distinct
+    # supplied_by restated with same endpoints must appear exactly once
+    dup = (
+        sem.groupBy("src_id", "dst_id", "rel_type", "ordinal")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0

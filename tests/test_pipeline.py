@@ -1,0 +1,87 @@
+"""Pipeline orchestration tests (FIXTURES.md §4: t-idempotent-resume,
+t-skew-smoke) + salted-agg equivalence."""
+
+import json
+import shutil
+
+import pyspark.sql.functions as F
+
+from progquery_spark.fixtures import make_fixture, to_spark
+from progquery_spark.pipeline import Pipeline
+
+
+def _counts(out):
+    return {k: v.count() for k, v in out.items()}
+
+
+def test_idempotent_resume(spark, tmp_path):
+    fx = make_fixture(n_convs=8)
+    tr = to_spark(spark, fx)
+    wh = str(tmp_path / "wh")
+    p = Pipeline(spark, wh, lineage=False)
+    base = _counts(p.run(transcripts=tr, resume=False))
+
+    # kill between every stage pair: strip suffixes of the manifest and
+    # resume; outputs must match the uninterrupted run
+    stages = [s for s in p.manifest.state["stages"] if not s.startswith("_")]
+    for cut in range(1, len(stages)):
+        m = json.load(open(f"{wh}/_pipeline_state.json"))
+        for st in stages[cut:]:
+            m["stages"].pop(st, None)
+            shutil.rmtree(f"{wh}/{st}", ignore_errors=True)
+        json.dump(m, open(f"{wh}/_pipeline_state.json", "w"))
+        p2 = Pipeline(spark, wh, lineage=False)
+        got = _counts(p2.run(transcripts=tr, resume=True))
+        assert got == base, f"resume after {stages[:cut]} diverged"
+
+
+def test_rerun_is_noop(spark, tmp_path):
+    fx = make_fixture(n_convs=4)
+    tr = to_spark(spark, fx)
+    wh = str(tmp_path / "wh")
+    p = Pipeline(spark, wh, lineage=False)
+    first = _counts(p.run(transcripts=tr, resume=False))
+    again = _counts(Pipeline(spark, wh, lineage=False).run(transcripts=tr, resume=True))
+    assert first == again
+
+
+def test_skew_smoke_and_lineage(spark, tmp_path):
+    """Zipf conversation lengths: pipeline completes; lineage rows exist
+    for every stage with positive row counts."""
+    fx = make_fixture(n_convs=12, zipf_lengths=True, seed=3)
+    tr = to_spark(spark, fx)
+    wh = str(tmp_path / "wh")
+    p = Pipeline(spark, wh, lineage=True)
+    out = p.run(transcripts=tr, resume=False)
+    assert out["triples_canonical"].count() > 0
+    lin = spark.read.parquet(f"{wh}/_lineage")
+    stages = {r["stage"] for r in lin.select("stage").distinct().collect()}
+    assert "extraction" in stages and "edges" in stages
+    assert lin.filter(F.col("rows_out") <= 0).count() == 0
+
+
+def test_salted_agg_equivalence(spark):
+    """Salted two-phase mention counts == plain groupBy counts."""
+    from progquery_spark.extraction.extract import extract, mentions_of
+    from progquery_spark.graph.passes import salted_mention_counts
+    from progquery_spark.canonicalize.cc import canonical_map, connected_components
+    from progquery_spark.linking.exact import alias_edges_exact, link_entities
+
+    fx = make_fixture(n_convs=10)
+    tr = to_spark(spark, fx)
+    m = mentions_of(extract(tr))
+    ents = link_entities(m)
+    labels, _ = connected_components(alias_edges_exact(m))
+    amap = canonical_map(labels, ents.select("norm_key"))
+    salted = {
+        (r["canonical_key"], r["n_mentions"])
+        for r in salted_mention_counts(m, amap, n_salt=8).collect()
+    }
+    plain = {
+        (r["norm_key"], r["cnt"])
+        for r in m.filter(F.col("mention_type") != "literal")
+        .groupBy("norm_key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert salted == plain
