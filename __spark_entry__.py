@@ -21,12 +21,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from progquery_spark.ops import all_queries
+
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(Q.kg_queries())
+    out.update(all_queries())
     return out
 
 
 def oracle_sql() -> dict[str, str]:
+    from progquery_spark.ops import all_oracles
+
     out: dict[str, str] = {}
     out.update(Q.kg_oracles())
+    out.update(all_oracles())
     return out

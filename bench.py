@@ -40,7 +40,10 @@ def main() -> None:
     transcripts = build_transcripts(spark, sf_dir)
     n_turns = transcripts.count()
 
-    warehouse = os.environ.get("BENCH_WAREHOUSE") or tempfile.mkdtemp(prefix="pq_bench_")
+    tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    warehouse = os.environ.get("BENCH_WAREHOUSE") or tempfile.mkdtemp(
+        prefix="pq_bench_", dir=tmp_root
+    )
     cleanup = "BENCH_WAREHOUSE" not in os.environ
     try:
         t0 = time.time()

@@ -32,6 +32,12 @@ def connected_components(
     """edges(src:string, dst:string) -> (labels(id, component), rounds).
 
     ``component`` is the lexicographic min vertex id of the component.
+
+    Partitioning is sized to the *graph*, not to the session default: the
+    alias graph is orders of magnitude smaller than the corpus (distinct
+    surfaces vs turns), and an iterative algorithm pays per-round task
+    overhead on every partition. ~250k edges per partition keeps rounds
+    cheap at bench scale and still spreads a billion-edge graph at 100 TB.
     """
     # symmetrize once; dedup to keep the join small
     sym = (
@@ -40,6 +46,9 @@ def connected_components(
         .dropDuplicates(["src", "dst"])
         .localCheckpoint(eager=True)
     )
+    n_edges = sym.count()
+    n_parts = max(4, min(512, n_edges // 250_000 + 1))
+    sym = sym.repartition(n_parts, "src").localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()

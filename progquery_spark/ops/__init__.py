@@ -1,0 +1,50 @@
+"""Training-data pipeline operators (dedup, similarity search, text
+analysis, multimodal plumbing, event streams).
+
+These extend the reference's operator surface with the operations a
+large-scale training-data pipeline needs (driver brief): each operator is a
+``queries()`` entry with a DuckDB oracle over the same parquet tables.
+Cross-engine determinism discipline: all fuzzy/hashy math is exact integer
+arithmetic in the 2^31-1 field (shared LCG constants), floats only enter
+through single IEEE ops (one divide, one sqrt) whose results are
+bit-identical in Spark and DuckDB — so value-hash parity is exact, never
+approximate.
+"""
+
+from __future__ import annotations
+
+import time
+
+
+def all_queries():
+    from . import dedup, events, multimodal, similarity, text
+
+    out = {}
+    for mod in (text, dedup, similarity, multimodal, events):
+        out.update(mod.queries())
+    return out
+
+
+def all_oracles():
+    from . import dedup, events, multimodal, similarity, text
+
+    out = {}
+    for mod in (text, dedup, similarity, multimodal, events):
+        out.update(mod.oracles())
+    return out
+
+
+def bench_ops(spark, sf_dir: str) -> dict[str, float]:
+    """Headline op timings for bench.py."""
+    from . import dedup, events, similarity
+
+    timings = {}
+    for name, fn in (
+        ("op_dedup_minhash", dedup.q_dedup_minhash_lsh),
+        ("op_ann_topk", similarity.q_ann_topk),
+        ("op_sessionize", events.q_events_sessionized),
+    ):
+        t = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t, 3)
+    return timings

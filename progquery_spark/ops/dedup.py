@@ -1,0 +1,391 @@
+"""Deduplication operators over ``documents``: exact, n-gram Jaccard,
+MinHash+LSH, SimHash. (Embedding-cosine near-dup lives in similarity.py
+next to the ANN operators.)
+
+Shared discipline: token 2-gram shingles; a dense vocabulary id assigned by
+sorted ROW_NUMBER (cross-engine deterministic — at petabyte scale you'd use
+xxhash64 of the gram instead of a global sort, noted per-operator); all hash
+arithmetic is (a*x+b) mod 2^31-1 with the frozen constants shared with
+linking.fuzzy, so the DuckDB oracles replicate the *algorithm* exactly —
+LSH recall quirks and all — and value-hash parity is bit-exact.
+
+Scale notes (100 TB story):
+- exact dedup: one shuffle on a 64-bit content hash; keeper = min id.
+- n-gram Jaccard: inverted-index self-join; pairs bounded by shared-gram
+  postings. Hot grams are the skew axis -> postings capped upstream by the
+  LSH variant; brute force is the small-scale oracle of record.
+- MinHash LSH: candidates only from band buckets (O(n * bands) rows);
+  verification joins only candidate pairs to the gram index. This is the
+  scale path; banding keys are pre-hashed so AQE can split skewed buckets.
+- SimHash: one 64->32-bit signature per doc, near-dup = hamming <= t over
+  byte-band buckets; cheapest of the family, one narrow table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..linking.fuzzy import _A, _B, _M
+from ..session import register_sf_views
+
+N_PERM = 16  # minhash permutations
+N_BANDS = 8  # 8 bands x 2 rows
+N_BITS = 32  # simhash planes
+JAC_PM = 500  # jaccard threshold (per-mille)
+HAM_MAX = 4  # simhash hamming threshold
+
+# simhash planes use the tail of the constant pool, decorrelated from the
+# minhash perms which use the head
+_SA = list(reversed(_A))
+_SB = list(reversed(_B))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_sf_views(spark, sf_dir)
+    return spark.table("documents")
+
+
+# --------------------------------------------------------------------------
+# shared gram/vocab plumbing (Spark side)
+# --------------------------------------------------------------------------
+def _grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, g): distinct token 2-grams per document."""
+    ts = F.split("text", " ")
+    gram_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ts, i), F.element_at(ts, i + 1)
+            ),
+        )
+    )
+    return docs.select("doc_id", F.explode(gram_arr).alias("g"))
+
+
+def _vocab(grams: DataFrame) -> DataFrame:
+    """(g, gid): dense 1-based ids by sorted ROW_NUMBER (deterministic in
+    both engines; swap for xxhash64(g) at petabyte scale)."""
+    return (
+        grams.select("g")
+        .distinct()
+        .withColumn("gid", F.row_number().over(Window.orderBy("g")).cast("long"))
+    )
+
+
+def _doc_gids(docs: DataFrame) -> DataFrame:
+    g = _grams(docs)
+    return g.join(_vocab(g), "g").select("doc_id", "gid")
+
+
+def _pair_jaccard_pm(pairs: DataFrame, dg: DataFrame) -> DataFrame:
+    """Attach integer per-mille Jaccard to candidate (doc_a, doc_b) pairs."""
+    sizes = dg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = dg.select(F.col("doc_id").alias("doc_a"), "gid")
+    b = dg.select(F.col("doc_id").alias("_db"), F.col("gid").alias("gid_b"))
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(b, (F.col("doc_b") == F.col("_db")) & (F.col("gid") == F.col("gid_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST(1000 * i DIV (na + nb - i) AS INT)").alias("jac_pm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 1. exact dedup
+# --------------------------------------------------------------------------
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash. The input is made duplicate-bearing
+    deterministically (every 10th doc cloned with doc_id+100000 — the
+    testdata has no exact dups); keeper = min doc_id per text. At scale:
+    groupBy(xxhash64(text)), one shuffle."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    full = d.unionByName(clones)
+    keeper = Window.partitionBy("text")
+    return full.select(
+        "doc_id",
+        F.min("doc_id").over(keeper).alias("keeper_id"),
+    ).withColumn("is_dup", F.col("doc_id") != F.col("keeper_id"))
+
+
+# --------------------------------------------------------------------------
+# 2. n-gram Jaccard (brute force via inverted index)
+# --------------------------------------------------------------------------
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dg = _doc_gids(_docs(spark, sf_dir))
+    a = dg.select(F.col("doc_id").alias("doc_a"), "gid")
+    b = dg.select(F.col("doc_id").alias("doc_b"), "gid")
+    pairs = (
+        a.join(b, "gid")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _pair_jaccard_pm(pairs, dg).filter(F.col("jac_pm") >= JAC_PM)
+
+
+# --------------------------------------------------------------------------
+# 3. MinHash + LSH
+# --------------------------------------------------------------------------
+def _perm_lits():
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"), F.lit(_A[i]).alias("a"), F.lit(_B[i]).alias("b")
+            )
+            for i in range(N_PERM)
+        ]
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dg = _doc_gids(_docs(spark, sf_dir))
+    # signature: min (a*gid+b) % M per perm — explode perms against the
+    # gram index (map-side combinable aggregation, no arrays held per doc)
+    sig = (
+        dg.select("doc_id", "gid", F.explode(_perm_lits()).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.i").alias("i"),
+            F.pmod(F.col("p.a") * F.col("gid") + F.col("p.b"), F.lit(_M)).alias("h"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("v"))
+    )
+    rows_per_band = N_PERM // N_BANDS
+    buckets = (
+        sig.withColumn("band", F.expr(f"i DIV {rows_per_band}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            (
+                F.max(F.when(F.col("i") % 2 == 0, F.col("v"))) * _M
+                + F.max(F.when(F.col("i") % 2 == 1, F.col("v")))
+            ).alias("band_key")
+        )
+    )
+    a = buckets.select("band", "band_key", F.col("doc_id").alias("doc_a"))
+    b = buckets.select("band", "band_key", F.col("doc_id").alias("doc_b"))
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _pair_jaccard_pm(cand, dg).filter(F.col("jac_pm") >= JAC_PM)
+
+
+# --------------------------------------------------------------------------
+# 4. SimHash
+# --------------------------------------------------------------------------
+def _plane_lits():
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.lit(_SA[j]).alias("a"),
+                F.lit(_SB[j]).alias("b"),
+                F.lit(1 << j).alias("pw"),
+            )
+            for j in range(N_BITS)
+        ]
+    )
+
+
+def _simhash(dg: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 32-bit simhash over the gram-id set."""
+    contrib = dg.select(
+        "doc_id", "gid", F.explode(_plane_lits()).alias("p")
+    ).select(
+        "doc_id",
+        F.col("p.j").alias("j"),
+        F.col("p.pw").alias("pw"),
+        F.when(
+            F.pmod(F.col("p.a") * F.col("gid") + F.col("p.b"), F.lit(_M)) % 2 == 1,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("s"),
+    )
+    bits = contrib.groupBy("doc_id", "j", "pw").agg(F.sum("s").alias("t"))
+    return bits.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("t") > 0, F.col("pw")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash(_doc_gids(_docs(spark, sf_dir)))
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: candidates from 4x8-bit band buckets, verified by
+    hamming(simhash_a, simhash_b) <= HAM_MAX."""
+    sh = _simhash(_doc_gids(_docs(spark, sf_dir)))
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("band"),
+                    F.expr(f"(simhash DIV {256 ** k}) % 256").alias("bv"),
+                )
+                for k in range(4)
+            ])
+        ).alias("p"),
+    ).select("doc_id", "simhash", F.col("p.band").alias("band"), F.col("p.bv").alias("bv"))
+    a = banded.select("band", "bv", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = banded.select("band", "bv", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")).cast("int"))
+        .filter(F.col("hamming") <= HAM_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def queries():
+    return {
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    }
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles — replicate the algorithms step for step
+# --------------------------------------------------------------------------
+_GRAM_CTES = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(ts)),
+                          i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]))) AS g
+  FROM toks),
+vocab AS (SELECT g, CAST(ROW_NUMBER() OVER (ORDER BY g) AS BIGINT) AS gid
+          FROM (SELECT DISTINCT g FROM grams)),
+dg AS (SELECT doc_id, gid FROM grams JOIN vocab USING (g)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM dg GROUP BY doc_id)
+"""
+
+
+def _perm_values(n, A, B, with_pw=False):
+    rows = []
+    for i in range(n):
+        pw = f", {1 << i}" if with_pw else ""
+        rows.append(f"({i}, {A[i]}, {B[i]}{pw})")
+    return ", ".join(rows)
+
+
+def _jaccard_select(pairs_cte: str) -> str:
+    return f"""
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+      FROM {pairs_cte} p
+      JOIN dg a ON a.doc_id = p.doc_a
+      JOIN dg b ON b.doc_id = p.doc_b AND b.gid = a.gid
+      GROUP BY p.doc_a, p.doc_b)
+    SELECT i.doc_a, i.doc_b,
+           CAST((1000 * i.i) // (sa.n + sb.n - i.i) AS INT) AS jac_pm
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE (1000 * i.i) // (sa.n + sb.n - i.i) >= {JAC_PM}
+    """
+
+
+def oracles():
+    rows_per_band = N_PERM // N_BANDS
+    return {
+        "dedup_exact": """
+        WITH dupful AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+        SELECT doc_id,
+               MIN(doc_id) OVER (PARTITION BY text) AS keeper_id,
+               doc_id <> MIN(doc_id) OVER (PARTITION BY text) AS is_dup
+        FROM dupful
+        """,
+        "dedup_ngram_jaccard": f"""
+        WITH {_GRAM_CTES},
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM dg a JOIN dg b ON a.gid = b.gid AND a.doc_id < b.doc_id),
+        {_jaccard_select('pairs')}
+        """,
+        "dedup_minhash_lsh": f"""
+        WITH {_GRAM_CTES},
+        perms(i, a, b) AS (VALUES {_perm_values(N_PERM, _A, _B)}),
+        sig AS (
+          SELECT doc_id, p.i, MIN((p.a * dg.gid + p.b) % {_M}) AS v
+          FROM dg CROSS JOIN perms p GROUP BY doc_id, p.i),
+        buckets AS (
+          SELECT doc_id, i // {rows_per_band} AS band,
+                 MAX(CASE WHEN i % 2 = 0 THEN v END) * {_M}
+                   + MAX(CASE WHEN i % 2 = 1 THEN v END) AS band_key
+          FROM sig GROUP BY doc_id, i // {rows_per_band}),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM buckets a JOIN buckets b
+            ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id),
+        {_jaccard_select('pairs')}
+        """,
+        "dedup_simhash": f"""
+        WITH {_GRAM_CTES},
+        planes(j, a, b, pw) AS (VALUES {_perm_values(N_BITS, _SA, _SB, with_pw=True)}),
+        bits AS (
+          SELECT doc_id, p.j, p.pw,
+                 SUM(CASE WHEN (p.a * dg.gid + p.b) % {_M} % 2 = 1
+                          THEN 1 ELSE -1 END) AS t
+          FROM dg CROSS JOIN planes p GROUP BY doc_id, p.j, p.pw)
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN t > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+        """,
+        "dedup_simhash_pairs": f"""
+        WITH {_GRAM_CTES},
+        planes(j, a, b, pw) AS (VALUES {_perm_values(N_BITS, _SA, _SB, with_pw=True)}),
+        bits AS (
+          SELECT doc_id, p.j, p.pw,
+                 SUM(CASE WHEN (p.a * dg.gid + p.b) % {_M} % 2 = 1
+                          THEN 1 ELSE -1 END) AS t
+          FROM dg CROSS JOIN planes p GROUP BY doc_id, p.j, p.pw),
+        sh AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN t > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
+          FROM bits GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, simhash, k.band,
+                 (simhash // CAST(power(256, k.band) AS BIGINT)) % 256 AS bv
+          FROM sh CROSS JOIN (VALUES (0), (1), (2), (3)) k(band)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.simhash AS sh_a, b.simhash AS sh_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {HAM_MAX}
+        """,
+    }

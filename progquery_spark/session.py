@@ -36,6 +36,14 @@ def get_spark(
         # sized so each shuffle partition is 100-200 MB of the input SF.
         shuffle_partitions = max(2 * cores, 8)
 
+    # Shuffle/spill dir: the sandbox has ONE ~180 MB/s virtio disk, which a
+    # 32-thread run saturates (each executor on a real cluster has its own
+    # local NVMe). tmpfs is the sandbox stand-in; override with
+    # SPARK_GRAFT_LOCAL_DIR for disk-backed runs.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/pq-spark-local"
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -46,11 +54,19 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM hosts every executor thread; size the
+        # heap for the thread count or 32-way runs GC-thrash (observed: all
+        # stages ~2x slower at local[32] vs local[8] on an 8g heap)
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", f"{max(16, 2 * cores)}g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
