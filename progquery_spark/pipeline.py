@@ -35,11 +35,16 @@ from .extraction.extract import extract, mentions_of, triples_of
 from .graph.materialize import build_edges, build_nodes
 from .graph.passes import consensus_modality, flow_edges, salted_mention_counts
 from .io.sinks import Manifest, read_stage, write_stage
-from .linking.exact import alias_edges_exact, link_entities
+from .linking.exact import (
+    alias_edges_from_stats,
+    link_entities_from_stats,
+    surface_stats,
+)
 
 STAGES = (
     "transcripts",
     "extraction",
+    "surface_stats",
     "entities",
     "alias_map",
     "triples_canonical",
@@ -119,14 +124,26 @@ class Pipeline:
             else build_transcripts(self.spark, sf_dir),
             resume,
         )
-        ex = self._stage("extraction", lambda: extract(tr), resume)
+        # extraction is partitioned by kind so every downstream consumer of
+        # only-mentions or only-triples prunes the other half of the files
+        ex = self._stage(
+            "extraction", lambda: extract(tr), resume, partition_by=["kind"]
+        )
         mentions = mentions_of(ex)
         triples = triples_of(ex)
 
-        entities = self._stage("entities", lambda: link_entities(mentions), resume)
+        # the one corpus-sized shuffle of the linking phase; entities and
+        # the alias graph are cheap re-aggregations of this small table
+        stats = self._stage(
+            "surface_stats", lambda: surface_stats(mentions), resume
+        )
+
+        entities = self._stage(
+            "entities", lambda: link_entities_from_stats(stats), resume
+        )
 
         def _alias_map() -> DataFrame:
-            edges = alias_edges_exact(mentions)
+            edges = alias_edges_from_stats(stats)
             if fuzzy_edges is not None:
                 edges = edges.unionByName(fuzzy_edges)
             labels, rounds = connected_components(edges)
@@ -156,6 +173,7 @@ class Pipeline:
         return {
             "transcripts": tr,
             "extraction": ex,
+            "surface_stats": stats,
             "entities": entities,
             "alias_map": amap,
             "triples_canonical": tcanon,

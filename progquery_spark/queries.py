@@ -33,7 +33,12 @@ from .datagen import build_transcripts
 from .extraction.extract import extract, mentions_of, triples_of
 from .graph.materialize import build_edges, build_nodes
 from .graph.passes import consensus_modality, flow_edges, salted_mention_counts
-from .linking.exact import alias_edges_exact, link_entities
+from .linking.exact import (
+    alias_edges_from_stats,
+    link_entities,
+    link_entities_from_stats,
+    surface_stats,
+)
 
 
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,8 +49,17 @@ def _extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract(_transcripts(spark, sf_dir))
 
 
+def _alias_map_from_stats(stats: DataFrame) -> DataFrame:
+    labels, _ = connected_components(alias_edges_from_stats(stats))
+    return canonical_map(
+        labels, stats.select("norm_key").dropDuplicates(["norm_key"])
+    )
+
+
 def _alias_map(mentions: DataFrame, entities: DataFrame) -> DataFrame:
-    labels, _ = connected_components(alias_edges_exact(mentions))
+    labels, _ = connected_components(
+        alias_edges_from_stats(surface_stats(mentions))
+    )
     return canonical_map(labels, entities.select("norm_key"))
 
 
@@ -74,13 +88,12 @@ def q_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_alias_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = mentions_of(_extraction(spark, sf_dir))
-    return _alias_map(m, link_entities(m))
+    return _alias_map_from_stats(surface_stats(m))
 
 
 def q_triples_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = _extraction(spark, sf_dir)
-    m = mentions_of(ex)
-    amap = _alias_map(m, link_entities(m))
+    amap = _alias_map_from_stats(surface_stats(mentions_of(ex)))
     return canonicalize_triples(triples_of(ex), amap)
 
 
@@ -88,8 +101,9 @@ def q_node_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = _transcripts(spark, sf_dir)
     ex = extract(tr)
     m = mentions_of(ex)
-    ents = link_entities(m)
-    amap = _alias_map(m, ents)
+    stats = surface_stats(m)
+    ents = link_entities_from_stats(stats)
+    amap = _alias_map_from_stats(stats)
     nodes = build_nodes(tr, m, ents, amap)
     return nodes.groupBy("node_type").agg(F.count(F.lit(1)).alias("n"))
 
@@ -98,8 +112,7 @@ def q_edge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = _transcripts(spark, sf_dir)
     ex = extract(tr)
     m = mentions_of(ex)
-    ents = link_entities(m)
-    amap = _alias_map(m, ents)
+    amap = _alias_map_from_stats(surface_stats(m))
     tcanon = canonicalize_triples(triples_of(ex), amap)
     edges = build_edges(tr, m, tcanon, amap).unionByName(flow_edges(tr))
     return edges.groupBy("rel_graph", "rel_type").agg(F.count(F.lit(1)).alias("n"))
@@ -127,7 +140,7 @@ def q_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = mentions_of(_extraction(spark, sf_dir))
-    amap = _alias_map(m, link_entities(m))
+    amap = _alias_map_from_stats(surface_stats(m))
     return salted_mention_counts(m, amap)
 
 

@@ -63,7 +63,23 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.sql.parquet.compression.codec", "zstd")
+        # snappy for stage snapshots: measured 19s -> 1s write overhead at
+        # local[16] on the extraction stage vs zstd (+38% size). Long-lived
+        # at-rest tables on a real cluster should set zstd via table
+        # properties; the pipeline's own snapshots are transient.
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # Scan-split sizing: stage snapshots at sandbox scale are O(100 MB)
+        # in many small files; the 128 MB default packs them into ~4 splits,
+        # capping every downstream scan at 4 tasks no matter how many cores
+        # exist (measured: post-extraction phases stopped scaling past
+        # local[4]). 8 MB splits keep scan parallelism >= cores at bench
+        # scale; on a real cluster with TB-scale stages the default is
+        # right — override via extra_conf there.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(8 * 1024 * 1024)),
+        )
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)

@@ -31,7 +31,11 @@ def main() -> None:
     from progquery_spark.canonicalize.cc import canonical_map, connected_components
     from progquery_spark.canonicalize.remap import canonicalize_triples
     from progquery_spark.extraction.extract import extract, mentions_of, triples_of
-    from progquery_spark.linking.exact import alias_edges_exact, link_entities
+    from progquery_spark.linking.exact import (
+        alias_edges_from_stats,
+        link_entities_from_stats,
+        surface_stats,
+    )
 
     spark = get_spark(
         f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=shuffle
@@ -44,11 +48,14 @@ def main() -> None:
     # snapshot); .persist() deliberately avoided — building a deserialized
     # cache of the full extraction is serialization-bound and anti-scales
     ex_path = f"{input_path}._ex_{cpus}"
-    extract(tr).write.mode("overwrite").parquet(ex_path)
+    extract(tr).write.mode("overwrite").partitionBy("kind").parquet(ex_path)
     ex = spark.read.parquet(ex_path)
     m = mentions_of(ex)
-    ents = link_entities(m)
-    labels, _ = connected_components(alias_edges_exact(m))
+    # one corpus-sized shuffle for the whole linking phase; small result,
+    # checkpointed so CC's per-round actions reuse it
+    stats = surface_stats(m).localCheckpoint(eager=True)
+    ents = link_entities_from_stats(stats)
+    labels, _ = connected_components(alias_edges_from_stats(stats))
     amap = canonical_map(labels, ents.select("norm_key"))
     n_triples = canonicalize_triples(triples_of(ex), amap).count()
     wall = time.time() - t0
