@@ -239,6 +239,19 @@ def extract_pandas(turns: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+# Upper bound on rows per yielded frame. The worker serializes each yielded
+# frame as ONE Arrow record batch (no re-chunking), and oversized batches in
+# flight in both socket directions at once can stall the runner's flow
+# control (see session.py maxRecordsPerBatch note) — so keep every output
+# burst small relative to the socket buffers.
+_OUT_CHUNK = 4096
+
+
+def _chunked(out: pd.DataFrame) -> Iterator[pd.DataFrame]:
+    for i in range(0, len(out), _OUT_CHUNK):
+        yield out.iloc[i : i + _OUT_CHUNK]
+
+
 def _extract_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: carry the trailing conversation across batches."""
     carry: pd.DataFrame | None = None
@@ -253,9 +266,9 @@ def _extract_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry = pdf[tail]
         work = pdf[~tail]
         if len(work):
-            yield extract_pandas(work)
+            yield from _chunked(extract_pandas(work))
     if carry is not None and len(carry):
-        yield extract_pandas(carry)
+        yield from _chunked(extract_pandas(carry))
 
 
 def extract(transcripts: DataFrame, num_partitions: int | None = None) -> DataFrame:

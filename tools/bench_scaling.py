@@ -42,15 +42,40 @@ def prepare_input(sf_dir: str, mult: int, path: str) -> None:
     spark.stop()
 
 
-def run_level(cpus: int, path: str) -> dict:
-    out = subprocess.run(
-        [sys.executable, "/root/repo/tools/scaling_job.py", str(cpus), path],
-        capture_output=True,
-        text=True,
-        check=True,
-    )
-    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+def run_level(cpus: int, path: str, attempts: int = 2) -> dict:
+    """One measured run in a fresh JVM, with a watchdog + one retry.
+
+    The watchdog guards against rare runner stalls; a hung level would
+    otherwise wedge the whole bench.
+    """
+    last_err: Exception | None = None
+    for _ in range(attempts):
+        try:
+            # pin the whole level (JVM + python workers) to exactly `cpus`
+            # host CPUs: local[N] alone lets python workers, GC and writer
+            # threads spill onto other cores, so an unpinned "4-core" run
+            # quietly uses 6-8 — pinning is the honest N-executor stand-in
+            out = subprocess.run(
+                ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
+                 "/root/repo/tools/scaling_job.py", str(cpus), path],
+                capture_output=True,
+                text=True,
+                check=True,
+                timeout=int(os.environ.get("SCALING_LEVEL_TIMEOUT", "1800")),
+            )
+            line = [
+                ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")
+            ][-1]
+            return json.loads(line)
+        except (subprocess.CalledProcessError, subprocess.TimeoutExpired) as e:
+            stderr = getattr(e, "stderr", "") or ""
+            print(
+                f"level local[{cpus}] failed ({type(e).__name__}); stderr tail:\n"
+                + "\n".join(stderr.splitlines()[-15:]),
+                file=sys.stderr,
+            )
+            last_err = e
+    raise last_err
 
 
 def main() -> None:
