@@ -104,6 +104,66 @@ def salted_mention_counts(
     )
 
 
+def entity_reachability(
+    canonical_triples: DataFrame, max_hops: int = 8
+) -> DataFrame:
+    """G3/G5 analog: BFS over the entity graph via iterative frontier joins.
+
+    The reference's only recursive whole-graph operators are the subtype-DAG
+    propagation of dynamic dispatch (HierarchyAnalysis.java:28-113) and the
+    call-graph reachability of initialization analysis
+    (ASTAuxiliarStorage.doInitializationAnalysis:169-202) — both memoized
+    single-JVM recursions. The distributed form is level-synchronous BFS:
+    ``frontier ⋈ edges`` per round, anti-join against the reached set, until
+    the frontier drains (SURVEY.md §2.6 G3/G5: "iterative join over the
+    DAG, bounded depth").
+
+    Transcript graph: nation -> customer (reversed ``from_nation``), then
+    customer -> order (``placed``), order -> part (``includes``) — a DAG of
+    depth 3, so the bound is slack. Returns (root, node, hops) with
+    hops = BFS level = min distance; (root, root, 0) rows included.
+    """
+    t = canonical_triples
+    edges = (
+        t.filter(F.col("pred") == "from_nation")
+        .select(F.col("obj").alias("src"), F.col("subj").alias("dst"))
+        .unionByName(
+            t.filter(F.col("pred") == "placed").select(
+                F.col("subj").alias("src"), F.col("obj").alias("dst")
+            )
+        )
+        .unionByName(
+            t.filter(F.col("pred") == "includes").select(
+                F.col("subj").alias("src"), F.col("obj").alias("dst")
+            )
+        )
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    roots = (
+        edges.filter(F.col("src").startswith("nation:"))
+        .select(F.col("src").alias("root"))
+        .distinct()
+    )
+    frontier = roots.select(
+        "root", F.col("root").alias("node"), F.lit(0).cast("int").alias("hops")
+    ).localCheckpoint(eager=True)
+    reached = frontier
+    for hop in range(1, max_hops + 1):
+        frontier = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select("root", F.col("dst").alias("node"))
+            .dropDuplicates(["root", "node"])
+            .join(reached, ["root", "node"], "left_anti")
+            .withColumn("hops", F.lit(hop).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        reached = reached.unionByName(frontier).localCheckpoint(eager=True)
+    return reached
+
+
 def consensus_modality(canonical_triples: DataFrame) -> DataFrame:
     """A4/G4 analog: per (subj, pred, obj), 'must' iff every conversation
     mentioning the subject asserts the triple.

@@ -374,3 +374,35 @@ def next_turn_sql() -> str:
         WHERE nx IS NOT NULL
         """
     )
+
+
+def reachability_sql() -> str:
+    """BFS reachability oracle (G3/G5 analog) as a recursive CTE.
+
+    min(hops) per (root, node) over all path lengths equals the BFS level
+    the Spark pass assigns (level-synchronous + anti-join)."""
+    body = f"""
+reach_edges AS (
+  SELECT DISTINCT obj AS src, subj AS dst FROM triples_canon WHERE pred = 'from_nation'
+  UNION
+  SELECT DISTINCT subj, obj FROM triples_canon WHERE pred = 'placed'
+  UNION
+  SELECT DISTINCT subj, obj FROM triples_canon WHERE pred = 'includes'
+),
+reach AS (
+  SELECT src AS root, src AS node, 0 AS hops
+  FROM (SELECT DISTINCT src FROM reach_edges WHERE src LIKE 'nation:%')
+  UNION
+  SELECT r.root, e.dst, r.hops + 1
+  FROM reach r JOIN reach_edges e ON e.src = r.node
+)
+"""
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(
+            c.strip().strip(",")
+            for c in (_BASE_CTES, _TRIPLES_CTE, _TRIPLES_CANON_CTE, body)
+        )
+        + "\nSELECT root, node, CAST(MIN(hops) AS INT) AS hops "
+        "FROM reach GROUP BY root, node"
+    )

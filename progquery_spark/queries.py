@@ -17,6 +17,7 @@ Inventory mapping (SURVEY.md §2):
   kg_edge_counts        S4/C3  edge materialization + dedup + flow (G1)
   kg_next_turn          G1     CFG-analog sequential threading
   kg_modality           A4/G4  consensus may/must
+  kg_reachability       G3/G5  iterative BFS over the entity DAG
   kg_mention_counts     §4.3.1 salted two-phase aggregation
 """
 
@@ -32,7 +33,12 @@ from .canonicalize.remap import canonicalize_triples
 from .datagen import build_transcripts
 from .extraction.extract import extract, mentions_of, triples_of
 from .graph.materialize import build_edges, build_nodes
-from .graph.passes import consensus_modality, flow_edges, salted_mention_counts
+from .graph.passes import (
+    consensus_modality,
+    entity_reachability,
+    flow_edges,
+    salted_mention_counts,
+)
 from .linking.exact import (
     alias_edges_from_stats,
     link_entities,
@@ -138,6 +144,11 @@ def q_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return consensus_modality(q_triples_canonical(spark, sf_dir))
 
 
+def q_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3/G5 analog: BFS entity reachability from nation roots."""
+    return entity_reachability(q_triples_canonical(spark, sf_dir))
+
+
 def q_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = mentions_of(_extraction(spark, sf_dir))
     amap = _alias_map_from_stats(surface_stats(m))
@@ -156,6 +167,7 @@ def kg_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edge_counts": q_edge_counts,
         "kg_next_turn": q_next_turn,
         "kg_modality": q_modality,
+        "kg_reachability": q_reachability,
         "kg_mention_counts": q_mention_counts,
     }
 
@@ -174,5 +186,6 @@ def kg_oracles() -> dict[str, str]:
         "kg_edge_counts": O.edge_counts_sql(),
         "kg_next_turn": O.next_turn_sql(),
         "kg_modality": O.modality_sql(),
+        "kg_reachability": O.reachability_sql(),
         "kg_mention_counts": O.mention_counts_sql(),
     }

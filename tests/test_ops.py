@@ -92,3 +92,21 @@ def test_text_quality_bands_partition(spark):
     bands = out.groupBy("quality_band").count().collect()
     assert sum(r["count"] for r in bands) == n
     assert {r["quality_band"] for r in bands} <= {"high", "medium", "low"}
+
+
+def test_reachability_bfs_levels(spark):
+    """G3/G5 analog: BFS levels are minimal distances; roots at hop 0."""
+    from progquery_spark.graph.passes import entity_reachability
+    from progquery_spark.queries import q_triples_canonical
+
+    r = entity_reachability(
+        q_triples_canonical(spark, "/root/testdata/sf0.001")
+    ).toPandas()
+    assert (r[r.root == r.node].hops == 0).all()
+    by_hop = r.groupby("hops").size()
+    # nation -> customer -> order -> part: exactly 4 levels on this corpus
+    assert list(by_hop.index) == [0, 1, 2, 3]
+    # every non-root node's key prefix matches its BFS level
+    lvl = {1: "customer:", 2: "order:", 3: "part:"}
+    for h, pfx in lvl.items():
+        assert r[r.hops == h].node.str.startswith(pfx).all()
