@@ -1,0 +1,58 @@
+"""Physical-plan hygiene (driver brief: 'explain the plan and iterate').
+
+These tests pin the scale-critical plan properties so a refactor that
+silently loses them fails CI, not the 100 TB run:
+- the kind-partitioned extraction snapshot prunes mention/triple files for
+  consumers that want only one kind;
+- the alias-map endpoint remap broadcasts the small side;
+- the transcript scan pushes column pruning into parquet.
+"""
+
+import pyspark.sql.functions as F
+
+from progquery_spark.extraction.extract import extract, mentions_of, triples_of
+from progquery_spark.fixtures import make_fixture, to_spark
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_kind_partition_pruning(spark, tmp_path):
+    tr = to_spark(spark, make_fixture(n_convs=4))
+    path = str(tmp_path / "ex")
+    extract(tr).write.partitionBy("kind").parquet(path)
+    ex = spark.read.parquet(path)
+    # each consumer's scan carries a PartitionFilter on its own kind
+    # (inputFiles() reports the pre-pruning relation, so assert on the plan)
+    m_plan = _plan(mentions_of(ex))
+    t_plan = _plan(triples_of(ex))
+    assert "PartitionFilters" in m_plan and "mention" in m_plan, m_plan
+    assert "PartitionFilters" in t_plan and "triple" in t_plan, t_plan
+
+
+def test_remap_broadcasts_alias_map(spark):
+    from progquery_spark.canonicalize.remap import canonicalize_triples
+    from progquery_spark.linking.exact import surface_stats
+    from progquery_spark.queries import _alias_map_from_stats
+
+    tr = to_spark(spark, make_fixture(n_convs=4))
+    ex = extract(tr)
+    amap = _alias_map_from_stats(surface_stats(mentions_of(ex)))
+    plan = _plan(canonicalize_triples(triples_of(ex), amap))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_transcript_scan_column_pruning(spark, tmp_path):
+    tr = to_spark(spark, make_fixture(n_convs=4))
+    path = str(tmp_path / "tr")
+    tr.write.parquet(path)
+    scanned = spark.read.parquet(path).select("conv_id", "turn_idx")
+    plan = _plan(scanned)
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema, read_schema
