@@ -43,3 +43,37 @@ def test_stateful_user_counter(spark):
         .collect()
     }
     assert final == batch and len(final) > 0
+
+
+def test_streaming_kg_extract_equals_batch(spark, tmp_path):
+    """availableNow drain of the stateful streaming extractor emits exactly
+    the batch extraction rows (same conversations, same triples)."""
+    from progquery_spark.datagen import build_transcripts
+    from progquery_spark.extraction.extract import extract
+    from progquery_spark.streaming.kg_stream import (
+        run_streaming_extract_available_now,
+    )
+
+    tr = build_transcripts(spark, "/root/testdata/sf0.001")
+    inp = str(tmp_path / "turns")
+    tr.write.parquet(inp)
+
+    q = run_streaming_extract_available_now(
+        spark, inp, str(tmp_path / "ckpt"), "kg_stream_out"
+    )
+    q.awaitTermination(300)
+
+    key_cols = "conv_id, turn_idx, kind, coalesce(norm_key, subj, ''), " \
+        "coalesce(pred, mention_type, ''), span_start, span_end"
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            f"SELECT {key_cols} FROM kg_stream_out"
+        ).collect()
+    }
+    extract(tr).createOrReplaceTempView("kg_batch_out")
+    want = {
+        tuple(r)
+        for r in spark.sql(f"SELECT {key_cols} FROM kg_batch_out").collect()
+    }
+    assert got == want and len(got) > 0
