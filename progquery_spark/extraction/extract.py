@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -81,15 +82,36 @@ _L = {
 }
 
 
-def _mk(kind: str, conv, turn, **cols) -> pd.DataFrame:
-    out = pd.DataFrame({"conv_id": conv.to_numpy(), "turn_idx": turn.to_numpy()})
-    out["kind"] = kind
+def _mk(kind: str, conv, turn, **cols) -> dict:
+    """One emitted row-block as a dict of per-column numpy arrays.
+
+    Blocks are assembled with per-column ``np.concatenate`` rather than
+    ``pd.concat`` of DataFrames: profiling showed the frame concat spending
+    ~73% of total extraction time scanning every element of the all-None
+    object blocks for NA compatibility (pandas ``is_valid_na_for_dtype``,
+    1.4M calls per 100k turns). Array concatenation is a memcpy.
+    """
+    n = len(conv)
+    d = {
+        "kind": np.full(n, kind, dtype=object),
+        "conv_id": conv.to_numpy(),
+        "turn_idx": turn.to_numpy(),
+    }
     for c in _COLS:
         if c in ("kind", "conv_id", "turn_idx"):
             continue
         v = cols.get(c)
-        out[c] = v.to_numpy() if isinstance(v, pd.Series) else v
-    return out[_COLS]
+        if isinstance(v, pd.Series):
+            d[c] = v.to_numpy()
+        else:
+            d[c] = np.full(n, v, dtype=object)
+    return d
+
+
+def _assemble(parts: list[dict]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {c: np.concatenate([p[c] for p in parts]) for c in _COLS}
+    )
 
 
 def _mention(conv, turn, mtype, surface, start, end, is_decl) -> pd.DataFrame:
@@ -122,6 +144,23 @@ def _triple(conv, turn, subj, pred, obj, start, end, ordinal=None) -> pd.DataFra
     )
 
 
+def _match(text: pd.Series, prefix: str, regex) -> pd.DataFrame:
+    """Literal-prefix dispatch before the full regex.
+
+    ``str.startswith`` is a cheap memcmp per row; running each anchored
+    regex only over its own turn subset cuts the string bytes each regex
+    scans to ~1/3 (extraction is memory-bandwidth-bound — this is the
+    difference between saturating DRAM at 8 workers vs 16). Semantics are
+    identical: the regexes are prefix-anchored, and the notna guard keeps
+    the behavior for prefix-matching-but-malformed rows.
+    """
+    cand = text.str.startswith(prefix, na=False)
+    if not cand.any():
+        return text.iloc[0:0].str.extract(regex)
+    m = text[cand].str.extract(regex)
+    return m[m[0].notna()]
+
+
 def extract_pandas(turns: pd.DataFrame) -> pd.DataFrame:
     """Vectorized extraction over a frame of whole conversations.
 
@@ -136,11 +175,10 @@ def extract_pandas(turns: pd.DataFrame) -> pd.DataFrame:
     parts: list[pd.DataFrame] = []
 
     # --- intro turns (E1 analog: declaration + references) ----------------
-    m = text.str.extract(R.INTRO_RE)
-    hit = m[0].notna()
-    if hit.any():
-        g = m[hit]
-        c, t = conv[hit], tidx[hit]
+    g_intro = _match(text, R.INTRO_P0, R.INTRO_RE)
+    if len(g_intro):
+        g = g_intro
+        c, t = conv.loc[g.index], tidx.loc[g.index]
         cust, nation, okey, prio = g[0], g[1], g[2], g[3]
         cust_s = _L["intro_p0"]
         cust_e = cust_s + cust.str.len()
@@ -168,11 +206,10 @@ def extract_pandas(turns: pd.DataFrame) -> pd.DataFrame:
     ctx = {}
 
     # --- final turns (declares the order too) ------------------------------
-    mf = text.str.extract(R.FINAL_RE)
-    fhit = mf[0].notna()
-    if fhit.any():
-        g = mf[fhit]
-        c, t = conv[fhit], tidx[fhit]
+    g_final = _match(text, R.FINAL_P0, R.FINAL_RE)
+    if len(g_final):
+        g = g_final
+        c, t = conv.loc[g.index], tidx.loc[g.index]
         okey, total, status = g[0], g[1], g[2]
         ok_s = _L["final_p0"]
         ok_e = ok_s + okey.str.len()
@@ -189,18 +226,17 @@ def extract_pandas(turns: pd.DataFrame) -> pd.DataFrame:
             _triple(c, t, order_key, "has_status", status, st_s, st_e),
         ]
 
-    if hit.any():
-        ctx.update(zip(conv[hit], m[hit][2]))
-    if fhit.any():
-        for cv, k in zip(conv[fhit], mf[fhit][0]):
+    if len(g_intro):
+        ctx.update(zip(conv.loc[g_intro.index], g_intro[2]))
+    if len(g_final):
+        for cv, k in zip(conv.loc[g_final.index], g_final[0]):
             ctx.setdefault(cv, k)
 
     # --- item turns (context-dependent subject) ----------------------------
-    mi = text.str.extract(R.ITEM_RE)
-    ihit = mi[0].notna()
-    if ihit.any():
-        g = mi[ihit]
-        c, t = conv[ihit], tidx[ihit]
+    g_item = _match(text, R.ITEM_P0, R.ITEM_RE)
+    if len(g_item):
+        g = g_item
+        c, t = conv.loc[g.index], tidx.loc[g.index]
         ln, qty, part, supp = g[0], g[1], g[2], g[3]
         okey = c.map(ctx)
         resolved = okey.notna()
@@ -232,7 +268,7 @@ def extract_pandas(turns: pd.DataFrame) -> pd.DataFrame:
 
     if not parts:
         return pd.DataFrame({c: pd.Series(dtype="object") for c in _COLS})
-    out = pd.concat(parts, ignore_index=True)
+    out = _assemble(parts)
     out["turn_idx"] = out["turn_idx"].astype("int32")
     out["span_start"] = out["span_start"].astype("int32")
     out["span_end"] = out["span_end"].astype("int32")
