@@ -278,8 +278,10 @@ def extract_pandas(turns: pd.DataFrame) -> pd.DataFrame:
 # Upper bound on rows per yielded frame. The worker serializes each yielded
 # frame as ONE Arrow record batch (no re-chunking), and oversized batches in
 # flight in both socket directions at once can stall the runner's flow
-# control (see session.py maxRecordsPerBatch note) — so keep every output
-# burst small relative to the socket buffers.
+# control — observed as non-deterministic multi-minute stalls when a single
+# conversation-dense input batch fanned out to ~100k output rows. Slicing
+# every yielded frame to <=4096 rows keeps each burst small relative to the
+# worker socket buffers in both directions.
 _OUT_CHUNK = 4096
 
 

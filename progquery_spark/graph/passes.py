@@ -149,6 +149,7 @@ def entity_reachability(
         "root", F.col("root").alias("node"), F.lit(0).cast("int").alias("hops")
     ).localCheckpoint(eager=True)
     reached = frontier
+    drained = False
     for hop in range(1, max_hops + 1):
         frontier = (
             frontier.join(edges, frontier.node == edges.src)
@@ -159,8 +160,20 @@ def entity_reachability(
             .localCheckpoint(eager=True)
         )
         if frontier.isEmpty():
+            drained = True
             break
         reached = reached.unionByName(frontier).localCheckpoint(eager=True)
+    if not drained and not frontier.isEmpty():
+        # bound hit with work remaining: results beyond max_hops are
+        # TRUNCATED and will diverge from the unbounded recursive-CTE
+        # oracle (reachability_sql). Surface it loudly instead of silently.
+        import warnings
+
+        warnings.warn(
+            f"entity_reachability truncated at max_hops={max_hops}: "
+            "frontier non-empty; raise max_hops or expect oracle divergence",
+            stacklevel=2,
+        )
     return reached
 
 

@@ -2,12 +2,13 @@
 MinHash+LSH, SimHash. (Embedding-cosine near-dup lives in similarity.py
 next to the ANN operators.)
 
-Shared discipline: token 2-gram shingles; a dense vocabulary id assigned by
-sorted ROW_NUMBER (cross-engine deterministic — at petabyte scale you'd use
-xxhash64 of the gram instead of a global sort, noted per-operator); all hash
-arithmetic is (a*x+b) mod 2^31-1 with the frozen constants shared with
-linking.fuzzy, so the DuckDB oracles replicate the *algorithm* exactly —
-LSH recall quirks and all — and value-hash parity is bit-exact.
+Shared discipline: token 2-gram shingles; gram ids are the rolling
+polynomial hash h <- (h*131 + charcode) mod 2^31-1 computed inline per gram
+(cross-engine deterministic, embarrassingly parallel — no vocabulary table,
+no global sort, no join); all downstream hash arithmetic is (a*x+b) mod
+2^31-1 with the frozen constants shared with linking.fuzzy, so the DuckDB
+oracles replicate the *algorithm* exactly — LSH recall quirks and all —
+and value-hash parity is bit-exact.
 
 Scale notes (100 TB story):
 - exact dedup: one shuffle on a 64-bit content hash; keeper = min id.
@@ -63,19 +64,29 @@ def _grams(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.explode(gram_arr).alias("g"))
 
 
-def _vocab(grams: DataFrame) -> DataFrame:
-    """(g, gid): dense 1-based ids by sorted ROW_NUMBER (deterministic in
-    both engines; swap for xxhash64(g) at petabyte scale)."""
-    return (
-        grams.select("g")
-        .distinct()
-        .withColumn("gid", F.row_number().over(Window.orderBy("g")).cast("long"))
+def _gram_hash(col):
+    """Rolling polynomial hash of a gram string, mod 2^31-1 — the same
+    cross-engine fingerprint discipline as ops.text.q_text_fingerprint.
+    Value range [0, M) keeps a*gid+b < 2^62 for the minhash permutations."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.ascii(F.substr(col, i, F.lit(1))).cast("long"),
+    )
+    return F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, c: F.pmod(acc * 131 + c, F.lit(_M))
     )
 
 
 def _doc_gids(docs: DataFrame) -> DataFrame:
-    g = _grams(docs)
-    return g.join(_vocab(g), "g").select("doc_id", "gid")
+    """(doc_id, gid): per-document distinct gram set, hashed inline.
+
+    Grams are string-distinct per document before hashing; a duplicate gid
+    within one document therefore requires a 31-bit collision, which both
+    engines reproduce identically — so no dedup shuffle is spent on it.
+    No vocabulary table exists at all: the id assignment is per-row
+    arithmetic that scales embarrassingly (the previous ROW_NUMBER design
+    funneled the distinct-gram set through one partition)."""
+    return _grams(docs).select("doc_id", _gram_hash(F.col("g")).alias("gid"))
 
 
 def _pair_jaccard_pm(pairs: DataFrame, dg: DataFrame) -> DataFrame:
@@ -108,14 +119,19 @@ def _pair_jaccard_pm(pairs: DataFrame, dg: DataFrame) -> DataFrame:
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash. The input is made duplicate-bearing
     deterministically (every 10th doc cloned with doc_id+100000 — the
-    testdata has no exact dups); keeper = min doc_id per text. At scale:
-    groupBy(xxhash64(text)), one shuffle."""
+    testdata has no exact dups); keeper = min doc_id per content group.
+
+    The shuffle key is ``xxhash64(text)`` — full document bodies never
+    travel as a partition key, and the window input is the narrow
+    (doc_id, h) projection. The DuckDB oracle partitions by ``text``
+    directly: identical grouping modulo 64-bit hash collisions (none at
+    any test SF; a production run would verify within-group equality)."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
     clones = d.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
-    full = d.unionByName(clones)
-    keeper = Window.partitionBy("text")
+    full = d.unionByName(clones).select("doc_id", F.xxhash64("text").alias("h"))
+    keeper = Window.partitionBy("h")
     return full.select(
         "doc_id",
         F.min("doc_id").over(keeper).alias("keeper_id"),
@@ -275,16 +291,21 @@ def queries():
 # --------------------------------------------------------------------------
 # DuckDB oracles — replicate the algorithms step for step
 # --------------------------------------------------------------------------
-_GRAM_CTES = """
+_GRAM_CTES = f"""
 toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
 grams AS (
   SELECT doc_id, unnest(list_distinct(
            list_transform(range(1, len(ts)),
                           i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]))) AS g
   FROM toks),
-vocab AS (SELECT g, CAST(ROW_NUMBER() OVER (ORDER BY g) AS BIGINT) AS gid
-          FROM (SELECT DISTINCT g FROM grams)),
-dg AS (SELECT doc_id, gid FROM grams JOIN vocab USING (g)),
+dg AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(g) + 1),
+                            i -> CAST(ascii(substr(g, CAST(i AS INT), 1)) AS BIGINT))),
+           (acc, c) -> (acc * 131 + c) % {_M}) AS gid
+  FROM grams),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM dg GROUP BY doc_id)
 """
 

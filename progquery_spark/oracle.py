@@ -380,7 +380,13 @@ def reachability_sql() -> str:
     """BFS reachability oracle (G3/G5 analog) as a recursive CTE.
 
     min(hops) per (root, node) over all path lengths equals the BFS level
-    the Spark pass assigns (level-synchronous + anti-join)."""
+    the Spark pass assigns (level-synchronous + anti-join).
+
+    Termination assumption: the predicate-induced graph is a DAG (nation ->
+    customer -> order -> part, depth 3). The CTE's ``hops`` column grows
+    monotonically, so a cycle-introducing predicate would make the UNION
+    never converge — keep cyclic relations out of ``reach_edges`` (the
+    Spark pass is bounded by max_hops and warns on truncation instead)."""
     body = f"""
 reach_edges AS (
   SELECT DISTINCT obj AS src, subj AS dst FROM triples_canon WHERE pred = 'from_nation'

@@ -51,8 +51,24 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_transcripts(spark, sf_dir)
 
 
+# One extraction pass per (session, sf_dir): without a materialization
+# barrier, a query that consumes both mentions_of(ex) and triples_of(ex)
+# holds the mapInPandas subtree twice in one plan and Spark may run the
+# regex pass twice (ReuseExchange is not guaranteed across mapInPandas).
+# The pipeline path avoids this with stage snapshots; the bare query path
+# localCheckpoints the extraction once and every query of the session
+# reuses it (keyed by applicationId so a stopped session's entries can
+# never be returned to a new one).
+_EX_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extract(_transcripts(spark, sf_dir))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _EX_CACHE.get(key)
+    if df is None:
+        df = extract(_transcripts(spark, sf_dir)).localCheckpoint(eager=True)
+        _EX_CACHE[key] = df
+    return df
 
 
 def _alias_map_from_stats(stats: DataFrame) -> DataFrame:
@@ -105,7 +121,7 @@ def q_triples_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_node_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = _transcripts(spark, sf_dir)
-    ex = extract(tr)
+    ex = _extraction(spark, sf_dir)
     m = mentions_of(ex)
     stats = surface_stats(m)
     ents = link_entities_from_stats(stats)
@@ -116,7 +132,7 @@ def q_node_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_edge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = _transcripts(spark, sf_dir)
-    ex = extract(tr)
+    ex = _extraction(spark, sf_dir)
     m = mentions_of(ex)
     amap = _alias_map_from_stats(surface_stats(m))
     tcanon = canonicalize_triples(triples_of(ex), amap)
