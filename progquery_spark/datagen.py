@@ -59,11 +59,26 @@ def cust_cased(o: str = "o", c: str = "c") -> str:
     )
 
 
+def supp_typo(l: str = "l", s: str = "s") -> str:
+    """Deterministic typo noise (drives fuzzy linking, VERDICT r1 #1):
+    item turns with (l_orderkey + rn) % 7 == 3 drop the 3rd character of
+    the supplier name ('Supplier#...' -> 'Suplier#...'), creating a
+    distinct norm key at edit distance 1 that only MinHash-LSH + edit
+    verification can re-unify (digit id intact — the strong-key rule).
+    Valid in both SQL dialects, so every oracle sees the same noise."""
+    return (
+        f"CASE WHEN CAST(({l}.l_orderkey + {l}.rn) % 7 AS INT) = 3 "
+        f"THEN substr({s}.s_name, 1, 2) || substr({s}.s_name, 4) "
+        f"ELSE {s}.s_name END"
+    )
+
+
 def supp_cased(l: str = "l", s: str = "s") -> str:
+    nm = supp_typo(l, s)
     return (
         f"CASE CAST(({l}.l_orderkey + {l}.rn) % 3 AS INT) "
-        f"WHEN 0 THEN upper({s}.s_name) WHEN 1 THEN lower({s}.s_name) "
-        f"ELSE {s}.s_name END"
+        f"WHEN 0 THEN upper({nm}) WHEN 1 THEN lower({nm}) "
+        f"ELSE {nm} END"
     )
 
 

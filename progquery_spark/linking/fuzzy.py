@@ -5,9 +5,14 @@ reference's exact-key lookup that the north star adds on top).
 Pipeline (all built-in expressions, zero Python UDFs):
 
   1. shingle   — character k-grams of the entity name (array_distinct)
-  2. minhash   — P permutations h_i(x) = (a_i * x + b_i) mod M over
-                 xxhash64(shingle); signature = array of per-perm minima
-  3. band      — split signature into B bands, hash each band,
+  2. minhash   — P permutations h_i(x) = (a_i * x + b_i) mod M over a
+                 rolling polynomial char hash of the shingle (mod M, the
+                 same cross-engine fingerprint the dedup/text ops use —
+                 every step is DuckDB-replicable, which is what puts this
+                 stage under the driver's value-hash oracle gate);
+                 signature = array of per-perm minima
+  3. band      — split signature into B bands of 2 rows, band key =
+                 v0 * M + v1 (exact integer, < 2^62 — no opaque hash),
                  posexplode -> (band_idx, band_hash) blocking keys
   4. bucket-join — self-join within blocks (same mention_type only),
                  a < b to kill mirror/self pairs
@@ -65,6 +70,19 @@ _B = [
 _A = [a % _M or 1 for a in _A]
 _B = [b % _M for b in _B]
 
+# Frozen defaults, shared with the DuckDB oracle generator (oracle.py)
+# so the driver's value-hash gate certifies this exact configuration.
+K_SHINGLE = 3
+NUM_PERM = 16
+BANDS = 8
+BUCKET_CAP = 200
+THRESHOLD = 0.8
+# Sub-threshold candidates in [MAY_FLOOR, THRESHOLD) become MAY_REFER_TO
+# fan-out instead of merging — the analog of the reference rewriting
+# REFERS_TO into a MAY_REFER_TO fan-out across possible targets
+# (HierarchyAnalysis.java:93-104).
+MAY_FLOOR = 0.6
+
 
 def shingles(name_col, k: int = 3):
     """Distinct character k-grams (padded so short names still shingle)."""
@@ -75,10 +93,23 @@ def shingles(name_col, k: int = 3):
     )
 
 
+def poly_hash(col):
+    """Rolling polynomial hash h <- (h*131 + charcode) mod 2^31-1 of a
+    string column — deterministic and identically computable in DuckDB
+    (list_reduce over ascii codes), unlike xxhash64."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.ascii(F.substr(col, i, F.lit(1))).cast("long"),
+    )
+    return F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, c: F.pmod(acc * 131 + c, F.lit(_M))
+    )
+
+
 def minhash_signature(shingle_col, num_perm: int = 16):
-    """Array of per-permutation minima over xxhash64'd shingles,
+    """Array of per-permutation minima over poly-hashed shingles,
     all arithmetic within the 2^31-1 field (no bigint overflow)."""
-    hashed = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_M)))
+    hashed = F.transform(shingle_col, lambda s: poly_hash(s))
     return F.transform(
         F.array(*[F.struct(F.lit(_A[i]).alias("a"), F.lit(_B[i]).alias("b")) for i in range(num_perm)]),
         lambda p: F.array_min(
@@ -91,13 +122,18 @@ def candidate_pairs(
     entities: DataFrame,
     name_col: str = "name",
     key_col: str = "norm_key",
-    k: int = 3,
-    num_perm: int = 16,
-    bands: int = 8,
-    bucket_cap: int = 200,
+    k: int = K_SHINGLE,
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    bucket_cap: int = BUCKET_CAP,
 ) -> DataFrame:
     """LSH-blocked candidate pairs: (key_a, key_b, type) with key_a < key_b."""
     rows_per_band = num_perm // bands
+    if rows_per_band != 2:
+        raise ValueError(
+            "bands must split the signature into 2-row bands "
+            "(band key = v0*M + v1 requires exactly two values)"
+        )
     sig = (
         entities.select(
             F.col(key_col).alias("key"),
@@ -115,9 +151,9 @@ def candidate_pairs(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                ),
+                lambda b: F.element_at(F.col("sig"), b * rows_per_band + 1)
+                * F.lit(_M)
+                + F.element_at(F.col("sig"), b * rows_per_band + 2),
             )
         ).alias("band_idx", "band_hash"),
     )
@@ -152,19 +188,20 @@ def candidate_pairs(
     )
 
 
-def fuzzy_alias_edges(
+def fuzzy_scored_pairs(
     entities: DataFrame,
-    threshold: float = 0.8,
     name_col: str = "name",
     key_col: str = "norm_key",
     **lsh_kwargs,
 ) -> DataFrame:
-    """norm<->norm alias edges passing structure-aware verification.
+    """LSH candidates with structure-aware scores:
+    (key_a, key_b, dig_a, dig_b, edit_sim, jaccard), key_a < key_b.
 
-    Verification rule (see module docstring): digit suffixes must agree
-    exactly; the alpha residue is scored by normalized Levenshtein
-    similarity >= threshold. Both signals are Spark built-ins — the whole
-    fuzzy layer stays JVM-side.
+    Scoring rule (see module docstring): digit suffixes are a strong key
+    that must agree exactly; the alpha residue is scored by normalized
+    Levenshtein similarity (names without digits fall back to whole-name
+    edit similarity). All signals are Spark built-ins — the whole fuzzy
+    layer stays JVM-side.
     """
     pairs = candidate_pairs(entities, name_col, key_col, **lsh_kwargs)
 
@@ -174,7 +211,7 @@ def fuzzy_alias_edges(
     def alpha(c):
         return F.regexp_replace(c, "[^a-z]", "")
 
-    scored = (
+    return (
         pairs.withColumn("dig_a", digits("nm_a"))
         .withColumn("dig_b", digits("nm_b"))
         .withColumn(
@@ -186,20 +223,55 @@ def fuzzy_alias_edges(
             F.when(F.col("dig_b") == "", F.col("nm_b")).otherwise(alpha("nm_b")),
         )
         .withColumn(
+            # the lit(1) floor guards the both-heads-empty degenerate case
+            # (pure-digit names): 0/0 would raise under ANSI; sim becomes
+            # 1.0 there, and the digit-equality filter still decides
             "edit_sim",
             F.lit(1.0)
             - F.levenshtein("head_a", "head_b")
-            / F.greatest(F.length("head_a"), F.length("head_b")),
+            / F.greatest(F.length("head_a"), F.length("head_b"), F.lit(1)),
         )
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))
             / F.size(F.array_union("sh_a", "sh_b")),
         )
+        .select("key_a", "key_b", "dig_a", "dig_b", "edit_sim", "jaccard")
     )
-    return (
-        scored.filter(
-            (F.col("dig_a") == F.col("dig_b")) & (F.col("edit_sim") >= threshold)
-        )
-        .select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
+
+
+def alias_edges_from_scored(
+    scored: DataFrame, threshold: float = THRESHOLD
+) -> DataFrame:
+    """Accepted pairs (merge into one entity): digits agree, sim >= t."""
+    return scored.filter(
+        (F.col("dig_a") == F.col("dig_b")) & (F.col("edit_sim") >= threshold)
+    ).select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
+
+
+def may_pairs_from_scored(
+    scored: DataFrame,
+    floor: float = MAY_FLOOR,
+    threshold: float = THRESHOLD,
+) -> DataFrame:
+    """Ambiguous pairs (MAY_REFER_TO fan-out): digits agree, sim in
+    [floor, threshold). Too similar to ignore, not similar enough to
+    merge — the reference's multi-candidate dispatch analog."""
+    return scored.filter(
+        (F.col("dig_a") == F.col("dig_b"))
+        & (F.col("edit_sim") >= floor)
+        & (F.col("edit_sim") < threshold)
+    ).select("key_a", "key_b")
+
+
+def fuzzy_alias_edges(
+    entities: DataFrame,
+    threshold: float = THRESHOLD,
+    name_col: str = "name",
+    key_col: str = "norm_key",
+    **lsh_kwargs,
+) -> DataFrame:
+    """norm<->norm alias edges passing structure-aware verification."""
+    return alias_edges_from_scored(
+        fuzzy_scored_pairs(entities, name_col, key_col, **lsh_kwargs), threshold
     )

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..linking.fuzzy import _A, _B, _M
+from ..linking.fuzzy import _A, _B, _M, poly_hash
 from ..session import register_sf_views
 
 N_PERM = 16  # minhash permutations
@@ -64,19 +64,6 @@ def _grams(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.explode(gram_arr).alias("g"))
 
 
-def _gram_hash(col):
-    """Rolling polynomial hash of a gram string, mod 2^31-1 — the same
-    cross-engine fingerprint discipline as ops.text.q_text_fingerprint.
-    Value range [0, M) keeps a*gid+b < 2^62 for the minhash permutations."""
-    codes = F.transform(
-        F.sequence(F.lit(1), F.length(col)),
-        lambda i: F.ascii(F.substr(col, i, F.lit(1))).cast("long"),
-    )
-    return F.aggregate(
-        codes, F.lit(0).cast("long"), lambda acc, c: F.pmod(acc * 131 + c, F.lit(_M))
-    )
-
-
 def _doc_gids(docs: DataFrame) -> DataFrame:
     """(doc_id, gid): per-document distinct gram set, hashed inline.
 
@@ -86,7 +73,7 @@ def _doc_gids(docs: DataFrame) -> DataFrame:
     No vocabulary table exists at all: the id assignment is per-row
     arithmetic that scales embarrassingly (the previous ROW_NUMBER design
     funneled the distinct-gram set through one partition)."""
-    return _grams(docs).select("doc_id", _gram_hash(F.col("g")).alias("gid"))
+    return _grams(docs).select("doc_id", poly_hash(F.col("g")).alias("gid"))
 
 
 def _pair_jaccard_pm(pairs: DataFrame, dg: DataFrame) -> DataFrame:

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from .datagen import LINEITEM_RN, cust_cased, duckdb_transcripts_cte, supp_cased
 from .extraction import rules as R
+from .linking import fuzzy as FZ
 
 _L = {
     "i0": len(R.INTRO_P0),
@@ -195,6 +196,131 @@ triples_canon AS (
   FROM triples_raw
 )
 """
+
+
+def _poly_hash_sql(col: str) -> str:
+    """Rolling polynomial char hash mod 2^31-1 — mirrors fuzzy.poly_hash."""
+    return f"""list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1, length({col}) + 1),
+                       i -> CAST(ascii(substr({col}, CAST(i AS INT), 1)) AS BIGINT))),
+      (acc, c) -> (acc * 131 + c) % {FZ._M})"""
+
+
+def _fuzzy_ctes() -> str:
+    """Step-for-step DuckDB replica of linking.fuzzy (shingle -> poly-hash
+    minhash -> 2-row band keys -> capped bucket self-join -> structure-aware
+    Levenshtein verify). Chains onto the ``mentions`` CTE; exposes
+    ``fuzzy_pairs(src, dst)`` with src < dst. Constants are imported from
+    linking.fuzzy so the two engines can never drift."""
+    M = FZ._M
+    perms = ", ".join(
+        f"({i}, {FZ._A[i]}, {FZ._B[i]})" for i in range(FZ.NUM_PERM)
+    )
+    return f"""
+fents AS (
+  SELECT norm_key AS key, mention_type AS mtype, lower(MIN(surface)) AS nm
+  FROM mentions WHERE mention_type <> 'literal'
+  GROUP BY norm_key, mention_type),
+fsh AS (
+  SELECT key, mtype, nm,
+         list_distinct(list_transform(
+           range(1, greatest(length(nm), 1) + 1),
+           i -> substr('^' || nm || '$', CAST(i AS INT), {FZ.K_SHINGLE}))) AS sh
+  FROM fents),
+fshh AS (
+  SELECT key, {_poly_hash_sql('s')} AS h
+  FROM (SELECT key, unnest(sh) AS s FROM fsh)),
+fperms(i, a, b) AS (VALUES {perms}),
+fsig AS (
+  SELECT key, p.i, MIN((p.a * h.h + p.b) % {M}) AS v
+  FROM fshh h CROSS JOIN fperms p GROUP BY key, p.i),
+fbands AS (
+  SELECT key, i // 2 AS band_idx,
+         MAX(CASE WHEN i % 2 = 0 THEN v END) * {M}
+           + MAX(CASE WHEN i % 2 = 1 THEN v END) AS band_hash
+  FROM fsig GROUP BY key, i // 2),
+fcap AS (
+  SELECT b.key, e.mtype, e.nm, b.band_idx, b.band_hash,
+         COUNT(*) OVER (PARTITION BY e.mtype, b.band_idx, b.band_hash) AS bucket_n
+  FROM fbands b JOIN fents e ON e.key = b.key),
+fcand AS (
+  SELECT DISTINCT a.key AS key_a, b.key AS key_b, a.nm AS nm_a, b.nm AS nm_b
+  FROM fcap a JOIN fcap b
+    ON a.mtype = b.mtype AND a.band_idx = b.band_idx
+   AND a.band_hash = b.band_hash AND a.key < b.key
+  WHERE a.bucket_n <= {FZ.BUCKET_CAP} AND b.bucket_n <= {FZ.BUCKET_CAP}),
+fscored AS (
+  SELECT key_a, key_b,
+         regexp_replace(nm_a, '[^0-9]', '', 'g') AS dig_a,
+         regexp_replace(nm_b, '[^0-9]', '', 'g') AS dig_b,
+         CASE WHEN regexp_replace(nm_a, '[^0-9]', '', 'g') = '' THEN nm_a
+              ELSE regexp_replace(nm_a, '[^a-z]', '', 'g') END AS head_a,
+         CASE WHEN regexp_replace(nm_b, '[^0-9]', '', 'g') = '' THEN nm_b
+              ELSE regexp_replace(nm_b, '[^a-z]', '', 'g') END AS head_b
+  FROM fcand),
+fuzzy_pairs AS (
+  SELECT key_a AS src, key_b AS dst
+  FROM fscored
+  WHERE dig_a = dig_b
+    AND 1.0 - levenshtein(head_a, head_b)
+          / greatest(length(head_a), length(head_b), 1) >= {FZ.THRESHOLD})
+"""
+
+
+# Connected components over the fuzzy pair graph (closure from every key,
+# canonical = min reachable) — components are tiny (near-star alias
+# clusters), so full transitive closure is the honest recursive-SQL form
+# of the Spark side's min-label-propagation CC.
+_FUZZY_CC_CTES = """
+fund AS (
+  SELECT src AS a, dst AS b FROM fuzzy_pairs
+  UNION
+  SELECT dst, src FROM fuzzy_pairs),
+freach AS (
+  SELECT a AS key, a AS r FROM (SELECT DISTINCT a FROM fund)
+  UNION
+  SELECT fr.key, u.b FROM freach fr JOIN fund u ON u.a = fr.r),
+fcmap AS (SELECT key AS norm_key, MIN(r) AS canonical_key FROM freach GROUP BY key)
+"""
+
+
+def fuzzy_pairs_sql() -> str:
+    return (
+        "WITH "
+        + ",\n".join(
+            c.strip().strip(",") for c in (_BASE_CTES, _MENTIONS_CTE, _fuzzy_ctes())
+        )
+        + "\nSELECT src, dst FROM fuzzy_pairs"
+    )
+
+
+def triples_canonical_fuzzy_sql() -> str:
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(
+            c.strip().strip(",")
+            for c in (
+                _BASE_CTES,
+                _MENTIONS_CTE,
+                _TRIPLES_CTE,
+                _TRIPLES_CANON_CTE,
+                _fuzzy_ctes(),
+                _FUZZY_CC_CTES,
+            )
+        )
+        + f"""
+SELECT t.conv_id, t.turn_idx,
+       COALESCE(ms.canonical_key, t.subj) AS subj,
+       t.pred,
+       CASE WHEN t.pred IN {_ENTITY_PREDS}
+            THEN COALESCE(mo.canonical_key, t.obj) ELSE t.obj END AS obj,
+       t.ordinal, t.span_start, t.span_end
+FROM triples_canon t
+LEFT JOIN fcmap ms ON ms.norm_key = t.subj
+LEFT JOIN fcmap mo ON mo.norm_key = t.obj AND t.pred IN {_ENTITY_PREDS}
+"""
+    )
 
 
 def _with(*ctes: str, select: str) -> str:

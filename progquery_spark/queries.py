@@ -45,6 +45,7 @@ from .linking.exact import (
     link_entities_from_stats,
     surface_stats,
 )
+from .linking.fuzzy import fuzzy_alias_edges
 
 
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,6 +120,29 @@ def q_triples_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize_triples(triples_of(ex), amap)
 
 
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH blocking + structure-aware verify over the entity table
+    (the north star's signature stage; reference analog:
+    DefinitionCache.putDefinition unifying references through one key,
+    DefinitionCache.java:56-74 — generalized to approximate keys)."""
+    ents = link_entities(mentions_of(_extraction(spark, sf_dir)))
+    return fuzzy_alias_edges(ents).select("src", "dst")
+
+
+def q_triples_canonical_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical triples with the fuzzy alias pairs unioned into the CC
+    graph: typo'd supplier keys (datagen.supp_typo) collapse into their
+    true entities before endpoint remapping."""
+    ex = _extraction(spark, sf_dir)
+    m = mentions_of(ex)
+    stats = surface_stats(m)
+    ents = link_entities_from_stats(stats)
+    edges = alias_edges_from_stats(stats).unionByName(fuzzy_alias_edges(ents))
+    labels, _ = connected_components(edges)
+    amap = canonical_map(labels, ents.select("norm_key"))
+    return canonicalize_triples(triples_of(ex), amap)
+
+
 def q_node_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = _transcripts(spark, sf_dir)
     ex = _extraction(spark, sf_dir)
@@ -179,6 +203,8 @@ def kg_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entities": q_entities,
         "kg_alias_map": q_alias_map,
         "kg_triples_canonical": q_triples_canonical,
+        "kg_fuzzy_pairs": q_fuzzy_pairs,
+        "kg_triples_canonical_fuzzy": q_triples_canonical_fuzzy,
         "kg_node_counts": q_node_counts,
         "kg_edge_counts": q_edge_counts,
         "kg_next_turn": q_next_turn,
@@ -198,6 +224,8 @@ def kg_oracles() -> dict[str, str]:
         "kg_entities": O.entities_sql(),
         "kg_alias_map": O.alias_map_sql(),
         "kg_triples_canonical": O.triples_canonical_sql(),
+        "kg_fuzzy_pairs": O.fuzzy_pairs_sql(),
+        "kg_triples_canonical_fuzzy": O.triples_canonical_fuzzy_sql(),
         "kg_node_counts": O.node_counts_sql(),
         "kg_edge_counts": O.edge_counts_sql(),
         "kg_next_turn": O.next_turn_sql(),
