@@ -164,6 +164,28 @@ def build_nodes(
     )
 
 
+def alias_nodes(alias_map: DataFrame) -> DataFrame:
+    """ALIAS tombstone nodes for merged-away keys.
+
+    J5 rewiring (DefinitionCache.putDefinition, DefinitionCache.java:56-74)
+    deletes the placeholder — but the class variant preserves a trace of
+    the superseded definition (putClassDefinition keeps USES_TYPE_DEF,
+    DefinitionCache.java:40-54). The analog: every norm key the CC merged
+    into another canonical key keeps an ALIAS node at its pre-merge entity
+    id, so ALIAS_OF edges have a first-class source endpoint and the merge
+    is queryable output, not a silent rewrite."""
+    merged = alias_map.filter(F.col("norm_key") != F.col("canonical_key"))
+    return _pad(
+        merged.select(
+            node_id(F.lit("entity"), "norm_key").alias("node_id"),
+            F.lit("ALIAS").alias("node_type"),
+            F.col("norm_key").alias("name"),
+            F.col("canonical_key"),
+            F.lit(False).alias("is_declared"),
+        )
+    )
+
+
 _EDGE_COLS = ["src_id", "dst_id", "rel_type", "rel_graph", "ordinal", "props"]
 
 
@@ -214,20 +236,42 @@ def build_edges(
     )
     # semantic edges between canonical entities (literal objects -> LITERAL
     # nodes); one edge per distinct (src, dst, rel_type, ordinal) — C3 dedup
+    # as a groupBy whose aggregate keeps the lexicographically-first
+    # asserting (conv_id, turn_idx) as provenance props — the reference's
+    # edges carry provenance attributes (exceptionType/methodName,
+    # ASTAuxiliarStorage.java:120-125), and min() keeps the dedup
+    # deterministic under any partitioning
     from ..canonicalize.remap import OBJ_IS_ENTITY
 
-    sem = canonical_triples.select(
-        node_id(F.lit("entity"), "subj").alias("src_id"),
-        F.when(
-            F.col("pred").isin(*OBJ_IS_ENTITY), node_id(F.lit("entity"), "obj")
+    sem = (
+        canonical_triples.select(
+            node_id(F.lit("entity"), "subj").alias("src_id"),
+            F.when(
+                F.col("pred").isin(*OBJ_IS_ENTITY), node_id(F.lit("entity"), "obj")
+            )
+            .otherwise(node_id(F.lit("lit"), F.concat(F.lit("lit:"), F.col("obj"))))
+            .alias("dst_id"),
+            F.col("pred").alias("rel_type"),
+            F.col("ordinal"),
+            "conv_id",
+            "turn_idx",
         )
-        .otherwise(node_id(F.lit("lit"), F.concat(F.lit("lit:"), F.col("obj"))))
-        .alias("dst_id"),
-        F.col("pred").alias("rel_type"),
-        F.lit("SEMANTIC").alias("rel_graph"),
-        F.col("ordinal"),
-        _EMPTY_PROPS().alias("props"),
-    ).dropDuplicates(["src_id", "dst_id", "rel_type", "ordinal"])
+        .groupBy("src_id", "dst_id", "rel_type", "ordinal")
+        .agg(F.min(F.struct("conv_id", "turn_idx")).alias("prov"))
+        .select(
+            "src_id",
+            "dst_id",
+            "rel_type",
+            F.lit("SEMANTIC").alias("rel_graph"),
+            "ordinal",
+            F.create_map(
+                F.lit("prov_conv"),
+                F.col("prov.conv_id"),
+                F.lit("prov_turn"),
+                F.col("prov.turn_idx").cast("string"),
+            ).alias("props"),
+        )
+    )
 
     return (
         _edge(has_turn, "HAS_TURN", "STRUCTURE")
@@ -235,3 +279,85 @@ def build_edges(
         .unionByName(_edge(refers_to, "REFERS_TO", "LINK"))
         .unionByName(sem.select(*_EDGE_COLS))
     )
+
+
+def alias_of_edges(alias_map: DataFrame) -> DataFrame:
+    """ALIAS_OF: merged-away key's (ALIAS) node -> canonical entity node —
+    the materialized form of the J5 placeholder->definition rewiring."""
+    merged = alias_map.filter(F.col("norm_key") != F.col("canonical_key"))
+    return _edge(
+        merged.select(
+            node_id(F.lit("entity"), "norm_key").alias("src_id"),
+            node_id(F.lit("entity"), "canonical_key").alias("dst_id"),
+        ),
+        "ALIAS_OF",
+        "LINK",
+    )
+
+
+def may_refer_edges(
+    mentions: DataFrame,
+    entities: DataFrame,
+    alias_map: DataFrame,
+    may_pairs: DataFrame,
+) -> DataFrame:
+    """MAY_REFER_TO fan-out: mentions of an ambiguous key get an edge to
+    each sub-threshold candidate's canonical entity.
+
+    Reference semantics ported (rule, not mechanism):
+    - fan-out across candidates: HierarchyAnalysis rewrites REFERS_TO into
+      MAY_REFER_TO edges to every non-abstract overrider
+      (HierarchyAnalysis.java:93-104);
+    - trustable pruning: statically-bound invocations skip the fan-out
+      (ASTAuxiliarStorage.checkIfTrustableInvocation,
+      ASTAuxiliarStorage.java:48-62) — here a mention whose entity is
+      *declared* is statically bound (customers introduce themselves,
+      orders close their own conversation), so only placeholder-entity
+      mentions fan out;
+    - a candidate that resolves to the mention's own canonical entity is
+      dropped (fan-out to the already-resolved target is no information).
+    """
+    amap = F.broadcast(alias_map)
+    targets = (
+        may_pairs.select(
+            F.col("key_a").alias("src_key"), F.col("key_b").alias("tgt_key")
+        )
+        .unionByName(
+            may_pairs.select(
+                F.col("key_b").alias("src_key"), F.col("key_a").alias("tgt_key")
+            )
+        )
+        .join(
+            amap.withColumnRenamed("norm_key", "tgt_key").withColumnRenamed(
+                "canonical_key", "tgt_ck"
+            ),
+            "tgt_key",
+            "left",
+        )
+        .select("src_key", F.coalesce("tgt_ck", "tgt_key").alias("tgt"))
+        .distinct()
+    )
+    decl = entities.select(F.col("norm_key").alias("src_key"), "is_declared")
+    fan = (
+        mentions.filter(F.col("mention_type") != "literal")
+        .withColumnRenamed("norm_key", "src_key")
+        .join(F.broadcast(targets), "src_key")
+        .join(F.broadcast(decl), "src_key")
+        .filter(~F.col("is_declared"))
+        .join(
+            amap.withColumnRenamed("norm_key", "src_key").withColumnRenamed(
+                "canonical_key", "src_ck"
+            ),
+            "src_key",
+            "left",
+        )
+        .filter(F.col("tgt") != F.coalesce("src_ck", "src_key"))
+        .select(
+            node_id(
+                F.lit("mention"), "conv_id", "turn_idx", "span_start", "mention_type"
+            ).alias("src_id"),
+            node_id(F.lit("entity"), "tgt").alias("dst_id"),
+        )
+        .dropDuplicates(["src_id", "dst_id"])
+    )
+    return _edge(fan, "MAY_REFER_TO", "LINK")

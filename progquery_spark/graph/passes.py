@@ -33,48 +33,68 @@ def flow_edges(transcripts: DataFrame) -> DataFrame:
 
     One shuffle on conv_id; all four families come from the same window
     pass (Catalyst reuses the sort).
+
+    Every flow edge carries ``gap_s`` (wall-clock seconds between its
+    endpoints) in props — the reference's edges are property-bearing, not
+    bare (exceptionType/methodName on CFG_MAY_THROW,
+    ASTAuxiliarStorage.java:120-125; caseIndex/value on switch dispatch,
+    CFGVisitor.java:544-556).
     """
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     w_role = Window.partitionBy("conv_id", "role").orderBy("turn_idx")
+    prec = w.rowsBetween(Window.unboundedPreceding, -1)
+    ts = F.unix_timestamp("ts")
     base = transcripts.select(
         "conv_id",
         "turn_idx",
         "role",
         "tool",
         F.lead("turn_idx").over(w).alias("next_idx"),
+        (F.lead(ts).over(w) - ts).alias("gap_next"),
         F.lead("turn_idx").over(w_role).alias("next_same_role_idx"),
+        (F.lead(ts).over(w_role) - ts).alias("gap_same_role"),
         F.last(F.when(F.col("role") == "user", F.col("turn_idx")), ignorenulls=True)
-        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .over(prec)
         .alias("prev_user_idx"),
+        (ts - F.last(F.when(F.col("role") == "user", ts), ignorenulls=True).over(prec))
+        .alias("gap_replies"),
         F.lag("turn_idx").over(w).alias("prev_idx"),
+        (ts - F.lag(ts).over(w)).alias("gap_tool"),
     )
 
-    def _mk(src_idx: str, dst_idx: str, rel: str, flt) -> DataFrame:
+    def _mk(src_idx: str, dst_idx: str, gap_col: str, rel: str, flt) -> DataFrame:
         return base.filter(flt).select(
             node_id(F.lit("turn"), "conv_id", src_idx).alias("src_id"),
             node_id(F.lit("turn"), "conv_id", dst_idx).alias("dst_id"),
             F.lit(rel).alias("rel_type"),
             F.lit("FLOW").alias("rel_graph"),
             F.lit(None).cast("int").alias("ordinal"),
-            F.create_map().cast("map<string,string>").alias("props"),
+            F.create_map(
+                F.lit("gap_s"), F.col(gap_col).cast("string")
+            ).alias("props"),
         )
 
-    next_turn = _mk("turn_idx", "next_idx", "NEXT_TURN", F.col("next_idx").isNotNull())
+    next_turn = _mk(
+        "turn_idx", "next_idx", "gap_next", "NEXT_TURN", F.col("next_idx").isNotNull()
+    )
     next_same = _mk(
         "turn_idx",
         "next_same_role_idx",
+        "gap_same_role",
         "NEXT_TURN_SAME_ROLE",
         F.col("next_same_role_idx").isNotNull(),
     )
     replies = _mk(
         "turn_idx",
         "prev_user_idx",
+        "gap_replies",
         "REPLIES_TO",
         (F.col("role") != "user") & F.col("prev_user_idx").isNotNull(),
     )
     tool_res = _mk(
         "turn_idx",
         "prev_idx",
+        "gap_tool",
         "TOOL_RESULT_OF",
         (F.col("role") == "tool") & F.col("prev_idx").isNotNull(),
     )

@@ -323,6 +323,57 @@ LEFT JOIN fcmap mo ON mo.norm_key = t.obj AND t.pred IN {_ENTITY_PREDS}
     )
 
 
+def link_edges_sql() -> str:
+    """ALIAS_OF + MAY_REFER_TO counts, replicating materialize.alias_of_edges
+    and materialize.may_refer_edges (fan-out + trustable pruning +
+    self-target drop) over the fuzzy layer."""
+    sim = (
+        "1.0 - levenshtein(head_a, head_b)"
+        " / greatest(length(head_a), length(head_b), 1)"
+    )
+    extra = f"""
+may_pairs AS (
+  SELECT key_a, key_b FROM fscored
+  WHERE dig_a = dig_b AND {sim} >= {FZ.MAY_FLOOR} AND {sim} < {FZ.THRESHOLD}),
+decl AS (
+  SELECT norm_key, MAX(is_decl) AS is_declared
+  FROM mentions WHERE mention_type <> 'literal' GROUP BY norm_key),
+mayt AS (
+  SELECT DISTINCT src_key, tgt FROM (
+    SELECT key_a AS src_key, COALESCE(c.canonical_key, key_b) AS tgt
+    FROM may_pairs LEFT JOIN fcmap c ON c.norm_key = key_b
+    UNION
+    SELECT key_b, COALESCE(c.canonical_key, key_a)
+    FROM may_pairs LEFT JOIN fcmap c ON c.norm_key = key_a)),
+maye AS (
+  SELECT DISTINCT m.conv_id, m.turn_idx, m.span_start, m.mention_type, t.tgt
+  FROM mentions m
+  JOIN mayt t ON t.src_key = m.norm_key
+  JOIN decl d ON d.norm_key = m.norm_key
+  LEFT JOIN fcmap c2 ON c2.norm_key = m.norm_key
+  WHERE m.mention_type <> 'literal' AND NOT d.is_declared
+    AND t.tgt <> COALESCE(c2.canonical_key, m.norm_key))
+"""
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(
+            c.strip().strip(",")
+            for c in (
+                _BASE_CTES,
+                _MENTIONS_CTE,
+                _fuzzy_ctes(),
+                _FUZZY_CC_CTES,
+                extra,
+            )
+        )
+        + """
+SELECT 'ALIAS_OF' AS rel_type, COUNT(*) AS n FROM fcmap WHERE norm_key <> canonical_key
+UNION ALL
+SELECT 'MAY_REFER_TO', COUNT(*) FROM maye
+"""
+    )
+
+
 def _with(*ctes: str, select: str) -> str:
     return "WITH " + ",\n".join(c.strip().strip(",") for c in ctes) + "\n" + select
 
@@ -451,6 +502,60 @@ def edge_counts_sql() -> str:
           (SELECT conv_id, turn_idx, role,
                   LAG(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pv
            FROM transcripts) WHERE role = 'tool' AND pv IS NOT NULL
+        """,
+    )
+
+
+def edge_props_sql() -> str:
+    """FLOW gap_s sums from ts_epoch windows; SEMANTIC provenance = the
+    (conv_id, turn_idx)-lexicographic first asserting turn per deduped
+    edge (turn order == ts order in this corpus, so MAX over the
+    preceding-user window matches Spark's last-preceding-user)."""
+    tcte = duckdb_transcripts_cte().replace("WITH ", "")
+    sem = """
+    sem_prov AS (
+      SELECT pred, conv_id, turn_idx,
+             ROW_NUMBER() OVER (PARTITION BY subj, pred, obj, ordinal
+                                ORDER BY conv_id, turn_idx) AS rn
+      FROM triples_canon)
+    """
+    return _with(
+        tcte,
+        _BASE_CTES,
+        _TRIPLES_CTE,
+        _TRIPLES_CANON_CTE,
+        sem,
+        select="""
+        SELECT 'FLOW' AS rel_graph, 'NEXT_TURN' AS rel_type,
+               COUNT(*) AS n, CAST(SUM(g) AS BIGINT) AS sum_v FROM
+          (SELECT LEAD(turn_idx) OVER w AS nx,
+                  LEAD(ts_epoch) OVER w - ts_epoch AS g
+           FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+        WHERE nx IS NOT NULL
+        UNION ALL
+        SELECT 'FLOW', 'NEXT_TURN_SAME_ROLE', COUNT(*), CAST(SUM(g) AS BIGINT) FROM
+          (SELECT LEAD(turn_idx) OVER w AS nx,
+                  LEAD(ts_epoch) OVER w - ts_epoch AS g
+           FROM transcripts WINDOW w AS (PARTITION BY conv_id, role ORDER BY turn_idx))
+        WHERE nx IS NOT NULL
+        UNION ALL
+        SELECT 'FLOW', 'REPLIES_TO', COUNT(*), CAST(SUM(g) AS BIGINT) FROM
+          (SELECT role,
+                  MAX(CASE WHEN role='user' THEN turn_idx END) OVER w AS pu,
+                  ts_epoch - MAX(CASE WHEN role='user' THEN ts_epoch END) OVER w AS g
+           FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        WHERE role <> 'user' AND pu IS NOT NULL
+        UNION ALL
+        SELECT 'FLOW', 'TOOL_RESULT_OF', COUNT(*), CAST(SUM(g) AS BIGINT) FROM
+          (SELECT role,
+                  LAG(turn_idx) OVER w AS pv,
+                  ts_epoch - LAG(ts_epoch) OVER w AS g
+           FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+        WHERE role = 'tool' AND pv IS NOT NULL
+        UNION ALL
+        SELECT 'SEMANTIC', pred, COUNT(*), CAST(SUM(turn_idx) AS BIGINT)
+        FROM sem_prov WHERE rn = 1 GROUP BY pred
         """,
     )
 

@@ -7,9 +7,12 @@ separation is what licenses per-stage checkpointing):
     transcripts            (source / synthesis)
       -> extraction        (mapInPandas, mentions+triples in one pass)
       -> entities          (exact linking + placeholder synthesis, J1-J4)
-      -> alias_map         (alias graph -> CC -> canonical map, J5/C1-C2)
+      -> fuzzy_pairs       (MinHash-LSH blocking + structure-aware verify)
+      -> alias_map         (exact+accepted-fuzzy graph -> CC -> canonical
+                            map, J5/C1-C2)
       -> triples_canonical (endpoint remap)
-      -> nodes / edges     (materialization incl. flow edges, G1)
+      -> nodes / edges     (materialization incl. flow edges G1, ALIAS
+                            tombstones, ALIAS_OF + MAY_REFER_TO fan-out)
       -> modality          (consensus may/must, A4/G4)
       -> mention_counts    (salted two-phase agg, §4.3.1)
 
@@ -32,7 +35,13 @@ from .canonicalize.cc import canonical_map, connected_components
 from .canonicalize.remap import canonicalize_triples
 from .datagen import build_transcripts
 from .extraction.extract import extract, mentions_of, triples_of
-from .graph.materialize import build_edges, build_nodes
+from .graph.materialize import (
+    alias_nodes,
+    alias_of_edges,
+    build_edges,
+    build_nodes,
+    may_refer_edges,
+)
 from .graph.passes import consensus_modality, flow_edges, salted_mention_counts
 from .io.sinks import Manifest, read_stage, write_stage
 from .linking.exact import (
@@ -40,12 +49,18 @@ from .linking.exact import (
     link_entities_from_stats,
     surface_stats,
 )
+from .linking.fuzzy import (
+    alias_edges_from_scored,
+    fuzzy_scored_pairs,
+    may_pairs_from_scored,
+)
 
 STAGES = (
     "transcripts",
     "extraction",
     "surface_stats",
     "entities",
+    "fuzzy_pairs",
     "alias_map",
     "triples_canonical",
     "nodes",
@@ -106,13 +121,17 @@ class Pipeline:
         sf_dir: str | None = None,
         transcripts: DataFrame | None = None,
         resume: bool = True,
+        fuzzy: bool = True,
         fuzzy_edges: DataFrame | None = None,
     ) -> dict[str, DataFrame]:
         """Run all stages; returns {stage: DataFrame} of materialized outputs.
 
         ``transcripts`` overrides synthesis (tests feed fixture frames);
-        ``fuzzy_edges`` optionally unions extra norm<->norm alias edges from
-        the MinHash-LSH stage into the CC graph.
+        ``fuzzy`` (default on) runs the MinHash-LSH stage: accepted pairs
+        join the CC graph, sub-threshold pairs become MAY_REFER_TO fan-out,
+        merges materialize as ALIAS nodes + ALIAS_OF edges;
+        ``fuzzy_edges`` optionally unions extra norm<->norm alias edges
+        into the CC graph (tests).
         """
         if not resume:
             self.manifest.reset()
@@ -142,8 +161,16 @@ class Pipeline:
             "entities", lambda: link_entities_from_stats(stats), resume
         )
 
+        scored = (
+            self._stage("fuzzy_pairs", lambda: fuzzy_scored_pairs(entities), resume)
+            if fuzzy
+            else None
+        )
+
         def _alias_map() -> DataFrame:
             edges = alias_edges_from_stats(stats)
+            if scored is not None:
+                edges = edges.unionByName(alias_edges_from_scored(scored))
             if fuzzy_edges is not None:
                 edges = edges.unionByName(fuzzy_edges)
             labels, rounds = connected_components(edges)
@@ -157,20 +184,33 @@ class Pipeline:
             "triples_canonical", lambda: canonicalize_triples(triples, amap), resume
         )
         nodes = self._stage(
-            "nodes", lambda: build_nodes(tr, mentions, entities, amap), resume
-        )
-        edges = self._stage(
-            "edges",
-            lambda: build_edges(tr, mentions, tcanon, amap).unionByName(
-                flow_edges(tr)
+            "nodes",
+            lambda: build_nodes(tr, mentions, entities, amap).unionByName(
+                alias_nodes(amap)
             ),
             resume,
         )
+
+        def _edges() -> DataFrame:
+            e = (
+                build_edges(tr, mentions, tcanon, amap)
+                .unionByName(flow_edges(tr))
+                .unionByName(alias_of_edges(amap))
+            )
+            if scored is not None:
+                e = e.unionByName(
+                    may_refer_edges(
+                        mentions, entities, amap, may_pairs_from_scored(scored)
+                    )
+                )
+            return e
+
+        edges = self._stage("edges", _edges, resume)
         modality = self._stage("modality", lambda: consensus_modality(tcanon), resume)
         mcounts = self._stage(
             "mention_counts", lambda: salted_mention_counts(mentions, amap), resume
         )
-        return {
+        out = {
             "transcripts": tr,
             "extraction": ex,
             "surface_stats": stats,
@@ -182,3 +222,6 @@ class Pipeline:
             "modality": modality,
             "mention_counts": mcounts,
         }
+        if scored is not None:
+            out["fuzzy_pairs"] = scored
+        return out

@@ -45,7 +45,12 @@ from .linking.exact import (
     link_entities_from_stats,
     surface_stats,
 )
-from .linking.fuzzy import fuzzy_alias_edges
+from .linking.fuzzy import (
+    alias_edges_from_scored,
+    fuzzy_alias_edges,
+    fuzzy_scored_pairs,
+    may_pairs_from_scored,
+)
 
 
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,6 +148,31 @@ def q_triples_canonical_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize_triples(triples_of(ex), amap)
 
 
+def q_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK-graph edge counts from the fuzzy layer: ALIAS_OF (accepted
+    merges, J5 trace) and MAY_REFER_TO (sub-threshold fan-out with the
+    trustable-pruning rule — HierarchyAnalysis.java:93-104,
+    ASTAuxiliarStorage.java:48-62)."""
+    from .graph.materialize import alias_of_edges, may_refer_edges
+
+    ex = _extraction(spark, sf_dir)
+    m = mentions_of(ex)
+    stats = surface_stats(m)
+    ents = link_entities_from_stats(stats)
+    # the LSH self-join feeds two consumers (accepted + may) — checkpoint
+    # it once, mirroring the pipeline path's fuzzy_pairs stage snapshot
+    scored = fuzzy_scored_pairs(ents).localCheckpoint(eager=True)
+    edges = alias_edges_from_stats(stats).unionByName(
+        alias_edges_from_scored(scored)
+    )
+    labels, _ = connected_components(edges)
+    amap = canonical_map(labels, ents.select("norm_key"))
+    link = alias_of_edges(amap).unionByName(
+        may_refer_edges(m, ents, amap, may_pairs_from_scored(scored))
+    )
+    return link.groupBy("rel_type").agg(F.count(F.lit(1)).alias("n"))
+
+
 def q_node_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = _transcripts(spark, sf_dir)
     ex = _extraction(spark, sf_dir)
@@ -162,6 +192,28 @@ def q_edge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tcanon = canonicalize_triples(triples_of(ex), amap)
     edges = build_edges(tr, m, tcanon, amap).unionByName(flow_edges(tr))
     return edges.groupBy("rel_graph", "rel_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_edge_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-property audit (reference: property-bearing relationships,
+    SURVEY.md §1.3): FLOW edges carry gap_s (seconds between endpoint
+    turns), SEMANTIC edges carry first-asserting provenance
+    (prov_conv, prov_turn). Aggregated per rel_type so the value hash
+    certifies every edge's props, not just their presence."""
+    tr = _transcripts(spark, sf_dir)
+    ex = _extraction(spark, sf_dir)
+    m = mentions_of(ex)
+    amap = _alias_map_from_stats(surface_stats(m))
+    tcanon = canonicalize_triples(triples_of(ex), amap)
+    edges = build_edges(tr, m, tcanon, amap).unionByName(flow_edges(tr))
+    v = F.coalesce(
+        F.col("props")["gap_s"], F.col("props")["prov_turn"]
+    ).cast("long")
+    return (
+        edges.filter(F.col("rel_graph").isin("FLOW", "SEMANTIC"))
+        .groupBy("rel_graph", "rel_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(v).alias("sum_v"))
+    )
 
 
 def q_next_turn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -205,8 +257,10 @@ def kg_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_canonical": q_triples_canonical,
         "kg_fuzzy_pairs": q_fuzzy_pairs,
         "kg_triples_canonical_fuzzy": q_triples_canonical_fuzzy,
+        "kg_link_edges": q_link_edges,
         "kg_node_counts": q_node_counts,
         "kg_edge_counts": q_edge_counts,
+        "kg_edge_props": q_edge_props,
         "kg_next_turn": q_next_turn,
         "kg_modality": q_modality,
         "kg_reachability": q_reachability,
@@ -226,8 +280,10 @@ def kg_oracles() -> dict[str, str]:
         "kg_triples_canonical": O.triples_canonical_sql(),
         "kg_fuzzy_pairs": O.fuzzy_pairs_sql(),
         "kg_triples_canonical_fuzzy": O.triples_canonical_fuzzy_sql(),
+        "kg_link_edges": O.link_edges_sql(),
         "kg_node_counts": O.node_counts_sql(),
         "kg_edge_counts": O.edge_counts_sql(),
+        "kg_edge_props": O.edge_props_sql(),
         "kg_next_turn": O.next_turn_sql(),
         "kg_modality": O.modality_sql(),
         "kg_reachability": O.reachability_sql(),

@@ -129,6 +129,10 @@ NODE_CATEGORIES: dict[str, list[str]] = {
     "PART": ["ENTITY", "ARTIFACT", "DEFINITION", "PQ_NODE"],
     "SUPPLIER": ["ENTITY", "AGENT", "DEFINITION", "PQ_NODE"],
     "LITERAL": ["VALUE", "PQ_NODE"],
+    # merged-away norm key kept as a queryable tombstone (J5 trace —
+    # DefinitionCache.putClassDefinition preserves a trace of superseded
+    # definitions, DefinitionCache.java:40-54)
+    "ALIAS": ["DEFINITION", "PQ_NODE"],
 }
 
 # Edge vocabularies, namespaced by overlay graph (reference: the six
