@@ -11,12 +11,19 @@ emitted as an integer (floor(100000*cos)). Integer quantization is also an
 honest production technique (int8 vector search), not just an oracle hack.
 
 Scale notes:
-- near-dup pairs + brute-force top-k are O(n^2) — correct small-scale
-  baselines, flagged as such. At 10^9 vectors the IVF variant is the path:
-  a coarse quantizer assigns each vector to a bucket and search touches
-  only same-bucket candidates. Here the provided ``label`` column stands in
-  for trained k-means centroid assignment (deterministic, so the oracle
-  can replicate bucketing; swap in pyspark.ml KMeans in production).
+- brute-force top-k is O(n*q) — the correct exact baseline (broadcast
+  query set x linear candidate scan). At 10^9 vectors the IVF variant is
+  the path: a coarse quantizer assigns each vector to the nearest of K
+  codebook centroids and search touches only same-bucket candidates.
+  The codebook here is a FIXED literal matrix derived from the frozen
+  constant pool — deterministic, broadcast as literals (exactly how a
+  trained codebook ships to executors), and integer-exact so the DuckDB
+  oracle replicates the assignment bit-for-bit. A production deployment
+  swaps the literal matrix for pyspark.ml KMeans cluster centers; every
+  other line stays identical.
+- embedding near-dup is bucket-blocked through the same quantizer
+  (candidate pairs share a centroid), not an all-pairs cartesian; recall
+  is bounded by the blocking like any IVF search.
 - the pair join is an equi-join on the bucket key -> AQE skew splitting
   covers hot buckets.
 """
@@ -26,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..linking.fuzzy import _A, _B
 from ..session import register_sf_views
 
 Q_SCALE = 1000  # quantization: int(round(x * 1000))
@@ -33,6 +41,55 @@ COS_SCALE = 100000  # cosine emitted as floor(100000 * cos)
 NEAR_DUP_COS = 45000  # near-dup threshold (0.45)
 TOP_K = 10
 N_QUERIES = 10  # vec_id < 10 serve as the query set
+
+# --- IVF coarse quantizer: fixed integer codebook ---------------------------
+N_CENTROIDS = 8
+DIM = 64
+
+
+def _centroid_rows() -> list[list[int]]:
+    """K x DIM integer codebook in [-7, 7], derived deterministically from
+    the frozen LCG constant pool (no data, no RNG — both engines embed the
+    same literals)."""
+    return [
+        [
+            ((_A[(7 * k + d) % 32] * (d + 3) + _B[(11 * k + 5 * d) % 32]) % 15) - 7
+            for d in range(DIM)
+        ]
+        for k in range(N_CENTROIDS)
+    ]
+
+
+_CENTS = _centroid_rows()
+
+
+def _bucket_expr(qcol):
+    """Spherical (cosine) coarse assignment: argmax of q . c_k over the
+    codebook, ties -> smallest centroid id. Norm-free on purpose — an L2
+    argmin against a fixed-scale codebook degenerates to the min-norm
+    centroid when data and codebook scales differ (observed: all vectors
+    in one bucket); the dot-product direction test cannot collapse. All
+    arithmetic is exact int64; the codebook travels as literals (exactly
+    how a trained spherical-KMeans codebook ships to executors)."""
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.array(*[F.lit(v) for v in _CENTS[k]]).alias("c"),
+            )
+            for k in range(N_CENTROIDS)
+        ]
+    )
+
+    def _score(ct):
+        dot = F.aggregate(
+            F.zip_with(qcol, ct.c, lambda x, y: x * y.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        return F.struct((-dot).alias("score"), ct.k.cast("int").alias("k"))
+
+    return F.array_min(F.transform(cents, _score)).getField("k")
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -45,7 +102,7 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spark.table("embeddings").select(
         "vec_id", "label", q.alias("q"), n2.alias("n2")
-    )
+    ).withColumn("bucket", _bucket_expr(F.col("q")))
 
 
 def _cos_pm(dot_col, n2a_col, n2b_col):
@@ -69,15 +126,19 @@ def _pair_cos(a: DataFrame, b: DataFrame, join_on) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos >= 0.45), brute force."""
+    """Embedding-cosine near-duplicate pairs (cos >= 0.45), IVF-blocked:
+    candidates share a coarse-quantizer bucket (equi-join, AQE-splittable),
+    then exact integer cosine verifies. No cartesian anywhere in the plan."""
     v = _vecs(spark, sf_dir)
     a = v.select(
-        F.col("vec_id").alias("vec_a"), F.col("q").alias("q_a"), F.col("n2").alias("n2_a")
+        "bucket", F.col("vec_id").alias("vec_a"),
+        F.col("q").alias("q_a"), F.col("n2").alias("n2_a"),
     )
     b = v.select(
-        F.col("vec_id").alias("vec_b"), F.col("q").alias("q_b"), F.col("n2").alias("n2_b")
+        "bucket", F.col("vec_id").alias("vec_b"),
+        F.col("q").alias("q_b"), F.col("n2").alias("n2_b"),
     )
-    pairs = _pair_cos(a, b, F.col("vec_a") < F.col("vec_b"))
+    pairs = _pair_cos(a, b, ["bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
     return pairs.filter(F.col("cos_pm") >= NEAR_DUP_COS).select(
         "vec_a", "vec_b", "cos_pm"
     )
@@ -110,18 +171,18 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k: search only the query's coarse bucket (label column as the
-    deterministic stand-in for a trained quantizer)."""
+    """IVF top-k: search only the query's coarse-quantizer bucket
+    (nearest-centroid assignment against the literal codebook)."""
     v = _vecs(spark, sf_dir)
     qs = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        F.col("label").alias("bucket"),
+        "bucket",
         F.col("q").alias("q_a"),
         F.col("n2").alias("n2_a"),
     )
     cands = v.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("bucket"),
+        "bucket",
         F.col("q").alias("q_b"),
         F.col("n2").alias("n2_b"),
     )
@@ -139,12 +200,29 @@ def queries():
     }
 
 
+def _cent_values() -> str:
+    return ", ".join(
+        f"({k}, {d + 1}, {v})"
+        for k, row in enumerate(_CENTS)
+        for d, v in enumerate(row)
+    )
+
+
 _QVEC_CTE = f"""
 qv AS (SELECT vec_id, label,
               list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {Q_SCALE}) AS BIGINT)) AS q
        FROM embeddings),
 ex AS (SELECT vec_id, label, unnest(q) AS qe, generate_subscripts(q, 1) AS pos FROM qv),
-nrm AS (SELECT vec_id, SUM(qe * qe) AS n2 FROM ex GROUP BY vec_id)
+nrm AS (SELECT vec_id, SUM(qe * qe) AS n2 FROM ex GROUP BY vec_id),
+cent(k, pos, val) AS (VALUES {_cent_values()}),
+cdot AS (SELECT e.vec_id, c.k, SUM(e.qe * c.val) AS dot
+         FROM ex e JOIN cent c ON c.pos = e.pos GROUP BY e.vec_id, c.k),
+assign AS (
+  SELECT vec_id, CAST(k AS INT) AS bucket FROM (
+    SELECT vec_id, k,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY -dot, k) AS rn
+    FROM cdot) WHERE rn = 1)
 """
 
 
@@ -159,6 +237,8 @@ def oracles():
         dots AS (
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.qe * b.qe) AS dot
           FROM ex a JOIN ex b ON a.pos = b.pos AND a.vec_id < b.vec_id
+          JOIN assign aa ON aa.vec_id = a.vec_id
+          JOIN assign ab ON ab.vec_id = b.vec_id AND ab.bucket = aa.bucket
           GROUP BY a.vec_id, b.vec_id)
         SELECT vec_a, vec_b, {_cos_sql('dot', 'na.n2', 'nb.n2')} AS cos_pm
         FROM dots JOIN nrm na ON na.vec_id = vec_a JOIN nrm nb ON nb.vec_id = vec_b
@@ -188,7 +268,8 @@ def oracles():
         dots AS (
           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.qe * b.qe) AS dot
           FROM ex a JOIN ex b ON a.pos = b.pos AND a.vec_id <> b.vec_id
-                     AND a.label = b.label
+          JOIN assign aa ON aa.vec_id = a.vec_id
+          JOIN assign ab ON ab.vec_id = b.vec_id AND ab.bucket = aa.bucket
           WHERE a.vec_id < {N_QUERIES}
           GROUP BY a.vec_id, b.vec_id),
         scored AS (
