@@ -86,6 +86,16 @@ class Manifest:
             "at": time.time(),
             **(extra or {}),
         }
+        self._flush()
+
+    def invalidate(self, stage: str) -> None:
+        """Drop a stage's completion record (merge path: downstream stages
+        of a changed input must recompute)."""
+        if stage in self.state["stages"]:
+            del self.state["stages"][stage]
+            self._flush()
+
+    def _flush(self) -> None:
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(self.state, f, indent=1)

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from .canonicalize.cc import canonical_map, connected_components
 from .canonicalize.remap import canonicalize_triples
 from .datagen import build_transcripts
-from .extraction.extract import extract, mentions_of, triples_of
+from .extraction.extract import EXTRACTION_SCHEMA, extract, mentions_of, triples_of
 from .graph.materialize import (
     alias_nodes,
     alias_of_edges,
@@ -123,6 +123,7 @@ class Pipeline:
         resume: bool = True,
         fuzzy: bool = True,
         fuzzy_edges: DataFrame | None = None,
+        until: str | None = None,
     ) -> dict[str, DataFrame]:
         """Run all stages; returns {stage: DataFrame} of materialized outputs.
 
@@ -131,10 +132,19 @@ class Pipeline:
         join the CC graph, sub-threshold pairs become MAY_REFER_TO fan-out,
         merges materialize as ALIAS nodes + ALIAS_OF edges;
         ``fuzzy_edges`` optionally unions extra norm<->norm alias edges
-        into the CC graph (tests).
+        into the CC graph (tests);
+        ``until`` stops after materializing the named stage (CLI driver's
+        --until), returning the stages run so far.
         """
+        if until is not None and until not in STAGES:
+            raise ValueError(f"unknown stage {until!r}; one of {STAGES}")
         if not resume:
             self.manifest.reset()
+        out: dict[str, DataFrame] = {}
+
+        def _cut(name: str, df: DataFrame) -> bool:
+            out[name] = df
+            return until == name
 
         tr = self._stage(
             "transcripts",
@@ -143,11 +153,15 @@ class Pipeline:
             else build_transcripts(self.spark, sf_dir),
             resume,
         )
+        if _cut("transcripts", tr):
+            return out
         # extraction is partitioned by kind so every downstream consumer of
         # only-mentions or only-triples prunes the other half of the files
         ex = self._stage(
             "extraction", lambda: extract(tr), resume, partition_by=["kind"]
         )
+        if _cut("extraction", ex):
+            return out
         mentions = mentions_of(ex)
         triples = triples_of(ex)
 
@@ -156,16 +170,22 @@ class Pipeline:
         stats = self._stage(
             "surface_stats", lambda: surface_stats(mentions), resume
         )
+        if _cut("surface_stats", stats):
+            return out
 
         entities = self._stage(
             "entities", lambda: link_entities_from_stats(stats), resume
         )
+        if _cut("entities", entities):
+            return out
 
         scored = (
             self._stage("fuzzy_pairs", lambda: fuzzy_scored_pairs(entities), resume)
             if fuzzy
             else None
         )
+        if scored is not None and _cut("fuzzy_pairs", scored):
+            return out
 
         def _alias_map() -> DataFrame:
             edges = alias_edges_from_stats(stats)
@@ -179,10 +199,14 @@ class Pipeline:
             return amap
 
         amap = self._stage("alias_map", _alias_map, resume)
+        if _cut("alias_map", amap):
+            return out
 
         tcanon = self._stage(
             "triples_canonical", lambda: canonicalize_triples(triples, amap), resume
         )
+        if _cut("triples_canonical", tcanon):
+            return out
         nodes = self._stage(
             "nodes",
             lambda: build_nodes(tr, mentions, entities, amap).unionByName(
@@ -190,6 +214,8 @@ class Pipeline:
             ),
             resume,
         )
+        if _cut("nodes", nodes):
+            return out
 
         def _edges() -> DataFrame:
             e = (
@@ -206,22 +232,63 @@ class Pipeline:
             return e
 
         edges = self._stage("edges", _edges, resume)
+        if _cut("edges", edges):
+            return out
         modality = self._stage("modality", lambda: consensus_modality(tcanon), resume)
+        if _cut("modality", modality):
+            return out
         mcounts = self._stage(
             "mention_counts", lambda: salted_mention_counts(mentions, amap), resume
         )
-        out = {
-            "transcripts": tr,
-            "extraction": ex,
-            "surface_stats": stats,
-            "entities": entities,
-            "alias_map": amap,
-            "triples_canonical": tcanon,
-            "nodes": nodes,
-            "edges": edges,
-            "modality": modality,
-            "mention_counts": mcounts,
-        }
-        if scored is not None:
-            out["fuzzy_pairs"] = scored
+        _cut("mention_counts", mcounts)
         return out
+
+    # -- incremental merge (C4 analog) --------------------------------------
+    def merge_new_conversations(
+        self, new_transcripts: DataFrame, fuzzy: bool = True
+    ) -> dict[str, DataFrame]:
+        """Merge a batch of new or re-compiled conversations into an
+        existing warehouse and reconcile.
+
+        Reference semantics (CompilationScheduler MERGING_ALLOWED,
+        CompilationScheduler.java:33,47-60 + re-declaration rewiring,
+        DefinitionCache.putClassDefinition, DefinitionCache.java:40-54):
+        new compilation units attach to the existing PROGRAM; re-declared
+        entities replace their old definition. Here:
+
+        - the expensive per-conversation extraction runs ONLY on the new
+          batch (one mapInPandas over the delta — the actual incremental
+          saving);
+        - conversations re-appearing in the batch REPLACE their old rows
+          (anti-join on conv_id), new ones append — on Iceberg this is
+          ``MERGE INTO``/dynamic partition overwrite on bucket(conv_id);
+          the parquet warehouse re-commits the merged snapshot atomically
+          (rename-as-commit), the sandbox stand-in for that;
+        - global passes (linking onward) recompute from the merged
+          extraction, exactly like the reference re-runs endAnalysis over
+          the accumulated graph (SURVEY.md §3.1/§3.3).
+
+        Equivalence contract (tested): the merged warehouse is
+        stage-for-stage identical to a from-scratch run on the merged
+        transcript set.
+        """
+        import shutil
+
+        new_ids = new_transcripts.select("conv_id").distinct()
+        tr_merged = (
+            self._load("transcripts")
+            .join(new_ids, "conv_id", "left_anti")
+            .unionByName(new_transcripts)
+        )
+        ex_merged = (
+            self._load("extraction")
+            .select(*[f.name for f in EXTRACTION_SCHEMA.fields])
+            .join(new_ids, "conv_id", "left_anti")
+            .unionByName(extract(new_transcripts))
+        )
+        self._materialize("transcripts", tr_merged)
+        self._materialize("extraction", ex_merged, partition_by=["kind"])
+        for st in STAGES[STAGES.index("surface_stats"):]:
+            self.manifest.invalidate(st)
+            shutil.rmtree(self._path(st), ignore_errors=True)
+        return self.run(resume=True, fuzzy=fuzzy)

@@ -13,8 +13,13 @@ Inventory mapping (SURVEY.md §2):
   kg_entities           J1-J4  exact linking + placeholder synthesis
   kg_alias_map          J5/C2  CC canonicalization (exact == identity)
   kg_triples_canonical  C1     endpoint remap through alias map
+  kg_fuzzy_pairs        §2.3   MinHash-LSH blocking + structure verify
+  kg_triples_canonical_fuzzy J5/C1-C2 remap through exact+fuzzy CC
+  kg_link_edges         G3     ALIAS_OF + MAY_REFER_TO fan-out w/
+                               trustable pruning (HierarchyAnalysis)
   kg_node_counts        S4/§1  node materialization (typed + hypernyms)
   kg_edge_counts        S4/C3  edge materialization + dedup + flow (G1)
+  kg_edge_props         §1.3   property-bearing edges (gap_s, provenance)
   kg_next_turn          G1     CFG-analog sequential threading
   kg_modality           A4/G4  consensus may/must
   kg_reachability       G3/G5  iterative BFS over the entity DAG

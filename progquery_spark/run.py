@@ -1,0 +1,123 @@
+"""spark-submit CLI driver (SURVEY.md §2.1 S1, §3.2).
+
+The reference's user surface is a hand-rolled argument parser
+(ProgQueryParameters.parseArguments, ProgQueryParameters.java:1-242:
+-user/-program/-neo4j_* + javac option strings). The Spark-native analog is
+an argparse driver wrapping ``Pipeline.run`` — the entry point the north
+rule's ``spark-submit --py-files`` invocation targets:
+
+    spark-submit --master local[32] --py-files progquery_spark.zip \\
+        -m progquery_spark.run --input /data/sf --warehouse /wh
+    # or locally:
+    python -m progquery_spark.run --input /root/testdata/sf0.001 \\
+        --warehouse /tmp/wh --until triples_canonical
+
+Prints one JSON line: {"run_id": ..., "stages": {stage: rows}, "wall_sec": N}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from .pipeline import STAGES, Pipeline
+from .session import get_spark
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="progquery_spark.run",
+        description="Transcript knowledge-graph construction pipeline",
+    )
+    src = ap.add_argument_group("input (one required unless resuming)")
+    src.add_argument(
+        "--input",
+        help="scale-factor dir of parquet base tables (transcripts synthesized)",
+    )
+    src.add_argument(
+        "--transcripts",
+        help="parquet path of a prebuilt transcripts table "
+        "(conv_id, turn_idx, role, text, tool, ts)",
+    )
+    ap.add_argument("--warehouse", required=True, help="stage-snapshot dir")
+    ap.add_argument(
+        "--resume",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="skip stages already completed in the warehouse manifest",
+    )
+    ap.add_argument(
+        "--fuzzy",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="MinHash-LSH fuzzy linking stage",
+    )
+    ap.add_argument(
+        "--lineage",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="per-partition lineage rows in <warehouse>/_lineage",
+    )
+    ap.add_argument(
+        "--until",
+        choices=STAGES,
+        help="stop after materializing this stage",
+    )
+    ap.add_argument(
+        "--merge",
+        metavar="PARQUET",
+        help="parquet path of a new/re-compiled conversation batch to merge "
+        "into an EXISTING warehouse (C4 incremental path)",
+    )
+    ap.add_argument("--master", help="spark master (default local[$SPARK_GRAFT_CPUS])")
+    ap.add_argument("--shuffle-partitions", type=int)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.merge is None and args.input is None and args.transcripts is None:
+        if not args.resume:
+            build_parser().error("--input or --transcripts required without --resume")
+
+    spark = get_spark(
+        "progquery-run",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    t0 = time.time()
+    pipe = Pipeline(spark, args.warehouse, lineage=args.lineage)
+    if args.merge:
+        batch = spark.read.parquet(args.merge)
+        pipe.merge_new_conversations(batch, fuzzy=args.fuzzy)
+    else:
+        tr = spark.read.parquet(args.transcripts) if args.transcripts else None
+        pipe.run(
+            sf_dir=args.input,
+            transcripts=tr,
+            resume=args.resume,
+            fuzzy=args.fuzzy,
+            until=args.until,
+        )
+    wall = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "run_id": pipe.manifest.run_id,
+                "stages": {
+                    s: rec["rows"]
+                    for s, rec in pipe.manifest.state["stages"].items()
+                    if not s.startswith("_")
+                },
+                "wall_sec": round(wall, 2),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -21,8 +21,23 @@ conversation is extracted and its state dropped when either
   are flushed rather than leaking state forever.
 
 Extraction itself is the SAME vectorized ``extract_pandas`` the batch
-stage uses, so batch and streaming provably agree: the availableNow test
-asserts set-equality of emitted rows against ``extract(transcripts)``.
+stage uses; the availableNow test asserts set-equality of emitted rows
+against ``extract(transcripts)`` for the delivery contract below.
+
+Delivery contract (what "agrees with batch" requires):
+- **per-conversation in-order delivery** — all of a conversation's turns
+  must reach the operator before or with its final turn (at scale: Kafka
+  partitioned by conv_id gives per-key ordering). If item turns arrive in
+  a LATER microbatch than the final turn, extraction has already fired
+  and dropped state; the stragglers re-buffer without their intro/final
+  context and are flushed on timeout as ``kind='dead_letter'`` rows
+  (conv_id + turn_idx preserved for replay/repair) — never silently
+  dropped, but also not equal to the batch output;
+- **one-shot drains only see completed conversations** — with
+  ``trigger(availableNow)`` the ProcessingTimeTimeout cannot fire before
+  the query stops, so conversations still missing their final turn emit
+  nothing in that drain; a subsequent drain (same checkpoint) or a live
+  trigger flushes them via the idle timeout.
 """
 
 from __future__ import annotations
@@ -74,11 +89,41 @@ def transcript_stream(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _extract_conv(conv_id: str, idxs: list, texts: list) -> pd.DataFrame:
+    """Extract one buffered conversation; un-extractable item turns become
+    dead-letter rows.
+
+    ``extract_pandas`` defensively drops item turns whose conversation
+    context (the order key from the intro/final turn) is missing —
+    correct for malformed batch input, but in streaming that state means
+    *late data after context was flushed*. Emitting
+    ``kind='dead_letter'`` rows (conv_id, turn_idx preserved) makes the
+    loss observable and replayable instead of silent."""
     turns = pd.DataFrame(
         {"conv_id": conv_id, "turn_idx": idxs, "text": texts}
     ).sort_values("turn_idx", kind="stable")
     turns["turn_idx"] = turns["turn_idx"].astype("int32")
-    return extract_pandas(turns)
+    out = extract_pandas(turns)
+    emitted = set(out["turn_idx"]) if len(out) else set()
+    dead = turns[
+        turns["text"].str.startswith(R.ITEM_P0, na=False)
+        & ~turns["turn_idx"].isin(emitted)
+    ]
+    if not len(dead):
+        return out
+    dl = pd.DataFrame(
+        {
+            "kind": "dead_letter",
+            "conv_id": dead["conv_id"],
+            "turn_idx": dead["turn_idx"],
+            "span_start": 0,
+            "span_end": 0,
+        }
+    )
+    for f in EXTRACTION_SCHEMA.fields:
+        if f.name not in dl.columns:
+            dl[f.name] = None
+    return pd.concat([out, dl[[f.name for f in EXTRACTION_SCHEMA.fields]]],
+                     ignore_index=True)
 
 
 def _kg_state_fn(

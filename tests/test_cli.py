@@ -1,0 +1,64 @@
+"""CLI driver smoke (S1 analog — ProgQueryParameters.java:1-242): the
+spark-submit entry point runs end-to-end in a subprocess, honors --until,
+and resumes."""
+
+import json
+import subprocess
+import sys
+
+
+def _run(args):
+    out = subprocess.run(
+        [sys.executable, "-m", "progquery_spark.run", *args],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def test_cli_until_and_resume(tmp_path):
+    wh = str(tmp_path / "wh")
+    first = _run(
+        [
+            "--input", "/root/testdata/sf0.001",
+            "--warehouse", wh,
+            "--until", "surface_stats",
+            "--no-lineage",
+            "--shuffle-partitions", "8",
+        ]
+    )
+    assert set(first["stages"]) == {"transcripts", "extraction", "surface_stats"}
+    assert first["stages"]["extraction"] > 0
+
+    # resume finishes the remaining stages without redoing the first three
+    second = _run(
+        [
+            "--input", "/root/testdata/sf0.001",
+            "--warehouse", wh,
+            "--no-lineage",
+            "--shuffle-partitions", "8",
+        ]
+    )
+    assert second["run_id"] == first["run_id"]
+    assert "mention_counts" in second["stages"]
+    assert second["stages"]["extraction"] == first["stages"]["extraction"]
+
+
+def test_cli_requires_input(tmp_path):
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "progquery_spark.run",
+            "--warehouse", str(tmp_path / "wh"),
+            "--no-resume",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=60,
+        cwd="/root/repo",
+    )
+    assert out.returncode != 0
+    assert "--input or --transcripts" in out.stderr

@@ -60,6 +60,45 @@ def test_skew_smoke_and_lineage(spark, tmp_path):
     assert lin.filter(F.col("rows_out") <= 0).count() == 0
 
 
+def test_incremental_merge_equivalence(spark, tmp_path):
+    """C4 analog (CompilationScheduler.java:33,47-60): append three new
+    conversations AND re-compile one existing conversation (fewer turns),
+    reconcile into the warehouse — the result must be stage-for-stage
+    identical to a from-scratch run on the merged transcript set."""
+    fx = make_fixture(n_convs=10, seed=7)
+    tr = to_spark(spark, fx)
+    old = tr.filter(F.col("conv_id").isin([f"conv-{i}" for i in range(7)]))
+    new = tr.filter(F.col("conv_id").isin(["conv-7", "conv-8", "conv-9"]))
+    # the re-compiled conversation drops its tool turns (re-declaration)
+    recompiled = tr.filter(
+        (F.col("conv_id") == "conv-3") & (F.col("role") != "tool")
+    )
+    batch = new.unionByName(recompiled)
+
+    wh1 = str(tmp_path / "wh1")
+    p1 = Pipeline(spark, wh1, lineage=False)
+    p1.run(transcripts=old, resume=False)
+    merged = p1.merge_new_conversations(batch)
+
+    final_tr = old.filter(F.col("conv_id") != "conv-3").unionByName(batch)
+    wh2 = str(tmp_path / "wh2")
+    scratch = Pipeline(spark, wh2, lineage=False).run(
+        transcripts=final_tr, resume=False
+    )
+
+    assert _counts(merged) == _counts(scratch)
+
+    def triple_set(df):
+        return {
+            tuple(r)
+            for r in df.select("conv_id", "turn_idx", "subj", "pred", "obj").collect()
+        }
+
+    assert triple_set(merged["triples_canonical"]) == triple_set(
+        scratch["triples_canonical"]
+    )
+
+
 def test_salted_agg_equivalence(spark):
     """Salted two-phase mention counts == plain groupBy counts."""
     from progquery_spark.extraction.extract import extract, mentions_of

@@ -45,6 +45,119 @@ def test_stateful_user_counter(spark):
     assert final == batch and len(final) > 0
 
 
+class _FakeState:
+    """Minimal GroupState stand-in to drive _kg_state_fn batch-by-batch."""
+
+    def __init__(self):
+        self._v = None
+        self.timed_out = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        if self._v is None:
+            raise ValueError("no state")
+        return self._v
+
+    @property
+    def hasTimedOut(self):
+        return self.timed_out
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def _turns_pdf(rows):
+    import pandas as pd
+
+    return pd.DataFrame(rows, columns=["turn_idx", "text"])
+
+
+def _texts():
+    from progquery_spark.extraction import rules as R
+
+    intro = (
+        f"{R.INTRO_P0}Customer#000000001{R.INTRO_P1}FRANCE"
+        f"{R.INTRO_P2}123{R.INTRO_P3}1-URGENT."
+    )
+    item = f"{R.ITEM_P0}1{R.ITEM_P1}5{R.ITEM_P2}red widget{R.ITEM_P3}Supplier#000000001."
+    final = f"{R.FINAL_P0}123{R.FINAL_P1}999{R.FINAL_P2}F."
+    return intro, item, final
+
+
+def _drive(state, *pdfs):
+    from progquery_spark.streaming.kg_stream import _kg_state_fn
+
+    return list(_kg_state_fn(("conv-x",), iter(pdfs), state))
+
+
+def test_stream_late_items_after_final_become_dead_letters():
+    """ADVICE r1: final turn in an earlier microbatch than item turns must
+    not silently lose the items — they flush as dead_letter rows."""
+    import pandas as pd
+
+    intro, item, final = _texts()
+    st = _FakeState()
+    # batch 1: intro + final -> extraction fires, state dropped
+    out1 = _drive(st, _turns_pdf([(0, intro), (2, final)]))
+    assert len(out1) == 1 and not st.exists
+    assert set(out1[0]["kind"]) == {"mention", "triple"}
+
+    # batch 2: the item turn arrives late -> re-buffers without context
+    out2 = _drive(st, _turns_pdf([(1, item)]))
+    assert out2 == [] and st.exists
+
+    # idle timeout -> flushed as dead letter, NOT silently dropped
+    st.timed_out = True
+    out3 = _drive(st)
+    flushed = pd.concat(out3)
+    dead = flushed[flushed["kind"] == "dead_letter"]
+    assert list(dead["turn_idx"]) == [1] and list(dead["conv_id"]) == ["conv-x"]
+    assert not st.exists
+
+
+def test_stream_incomplete_conversation_times_out_with_dead_letters():
+    """A conversation that never gets its final turn flushes on timeout:
+    resolvable turns extract, context-less item turns are dead-lettered."""
+    import pandas as pd
+
+    intro, item, final = _texts()
+    st = _FakeState()
+    assert _drive(st, _turns_pdf([(1, item)])) == [] and st.exists
+    st.timed_out = True
+    flushed = pd.concat(_drive(st))
+    assert set(flushed["kind"]) == {"dead_letter"}
+    assert list(flushed["turn_idx"]) == [1]
+
+
+def test_stream_in_order_split_batches_equal_one_shot():
+    """In-order delivery split across microbatches == single-batch result
+    (the delivery contract the module docstring documents)."""
+    import pandas as pd
+
+    intro, item, final = _texts()
+    one = pd.concat(
+        _drive(_FakeState(), _turns_pdf([(0, intro), (1, item), (2, final)]))
+    )
+    st = _FakeState()
+    outs = _drive(st, _turns_pdf([(0, intro), (1, item)]))
+    outs += _drive(st, _turns_pdf([(2, final)]))
+    split = pd.concat(outs)
+    key = ["kind", "conv_id", "turn_idx", "span_start", "span_end"]
+    assert sorted(map(tuple, split[key].values.tolist())) == sorted(
+        map(tuple, one[key].values.tolist())
+    )
+
+
 def test_streaming_kg_extract_equals_batch(spark, tmp_path):
     """availableNow drain of the stateful streaming extractor emits exactly
     the batch extraction rows (same conversations, same triples)."""

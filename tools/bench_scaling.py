@@ -1,9 +1,11 @@
-"""Two-parallelism scaling benchmark -> BENCH/BASELINE.md.
+"""Multi-pair scaling benchmark -> BENCH/BASELINE.md.
 
 Protocol (north rule, sandbox form): the same job on the same input at
-local[N] and local[4N] (default 8 vs 32), throughput at both, efficiency
-= (t_N / t_4N) / 4. Each level runs in a fresh subprocess (own JVM) so
-neither warms the other.
+local[N] and local[4N], throughput at both, efficiency = (t_N / t_4N) / 4.
+SCALING_PAIRS (default "2-8,4-16") names the N->4N pairs; all distinct
+levels are interleaved within each rep and the min wall per level is
+reported. Each level runs in a fresh subprocess (own JVM) so neither
+warms the other.
 
 Input: transcripts synthesized from $SPARK_GRAFT_SF_DIR (default sf0.1),
 replicated SCALING_MULT times (default 4, ~3.6M turns) by conv_id
@@ -91,8 +93,11 @@ def main() -> None:
     # efficiency on the raw extractor, 4->16 ~0.6, 8->32 ~0.65 even on
     # integer loops) — so 2->8 evidences code scaling, larger pairs
     # evidence the memory wall (driver brief: "N and 4N").
-    n_low = int(os.environ.get("SCALING_N", "2"))
-    n_high = 4 * n_low
+    pairs = [
+        tuple(int(x) for x in p.split("-"))
+        for p in os.environ.get("SCALING_PAIRS", "2-8,4-16").split(",")
+    ]
+    levels = sorted({n for p in pairs for n in p})
     default_input = (
         "/dev/shm/pq_scaling_input"
         if os.path.isdir("/dev/shm")
@@ -108,30 +113,47 @@ def main() -> None:
     # interleave the levels and take the min per level — the standard
     # noise-robust estimator for wall-clock benchmarking
     reps = int(os.environ.get("SCALING_REPS", "3"))
-    lo_runs, hi_runs = [], []
+    runs: dict[int, list[dict]] = {n: [] for n in levels}
     for i in range(reps):
-        lo_runs.append(run_level(n_low, path))
-        hi_runs.append(run_level(n_high, path))
+        for n in levels:
+            runs[n].append(run_level(n, path))
         print(
-            f"rep {i + 1}/{reps}: low={lo_runs[-1]['wall_sec']}s "
-            f"high={hi_runs[-1]['wall_sec']}s",
+            f"rep {i + 1}/{reps}: "
+            + " ".join(f"local[{n}]={runs[n][-1]['wall_sec']}s" for n in levels),
             file=sys.stderr,
         )
-    lo = min(lo_runs, key=lambda r: r["wall_sec"])
-    hi = min(hi_runs, key=lambda r: r["wall_sec"])
-    speedup = lo["wall_sec"] / hi["wall_sec"]
-    eff = speedup / (n_high / n_low)
+    best = {n: min(rs, key=lambda r: r["wall_sec"]) for n, rs in runs.items()}
+    pair_results = []
+    for n_low, n_high in pairs:
+        speedup = best[n_low]["wall_sec"] / best[n_high]["wall_sec"]
+        eff = speedup / (n_high / n_low)
+        pair_results.append(
+            {
+                "pair": f"{n_low}->{n_high}",
+                "speedup": round(speedup, 2),
+                "efficiency": round(eff, 3),
+            }
+        )
     result = {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": pair_results[0]["efficiency"],
         "unit": "ratio",
-        "low": lo,
-        "high": hi,
-        "speedup": round(speedup, 2),
+        "pairs": pair_results,
+        "levels": {str(n): best[n] for n in levels},
         "input": {"sf": sf_dir, "mult": mult, "path": path},
     }
     print(json.dumps(result))
 
+    level_rows = "\n".join(
+        f"| local[{n}] | {best[n]['wall_sec']} | {best[n]['turns_per_sec']:,} "
+        f"| {best[n]['triples']:,} |"
+        for n in levels
+    )
+    pair_rows = "\n".join(
+        f"| {p['pair']} cores | {p['speedup']:.2f}x | {p['efficiency']:.3f} |"
+        for p in pair_results
+    )
+    any_turns = best[levels[0]]["turns"]
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     with open("/root/repo/BENCH/BASELINE.md", "w") as f:
         f.write(
@@ -141,29 +163,33 @@ Generated by `python tools/bench_scaling.py` on {time.strftime('%Y-%m-%d %H:%M:%
 
 Job: transcript KG construction core (mapInPandas extraction -> exact
 linking -> connected-components canonicalization -> endpoint remap ->
-count), one JVM per level, same prepared input for both levels
-({lo['turns']:,} turns = {sf_dir} transcripts x{mult}).
+count), one JVM per level, same prepared input for every level
+({any_turns:,} turns = {sf_dir} transcripts x{mult}).
 
 | parallelism | wall (s) | turns/sec | triples |
 |---|---|---|---|
-| local[{n_low}]  | {lo['wall_sec']} | {lo['turns_per_sec']:,} | {lo['triples']:,} |
-| local[{n_high}] | {hi['wall_sec']} | {hi['turns_per_sec']:,} | {hi['triples']:,} |
+{level_rows}
 
-**Speedup {n_low}->{n_high} cores: {speedup:.2f}x; scaling efficiency: {eff:.3f}**
-(target >= 0.8 per BASELINE.json; per the driver's instruction the two
+| pair (N -> 4N) | speedup | scaling efficiency |
+|---|---|---|
+{pair_rows}
+
+(target >= 0.8 per BASELINE.json; per the driver's instruction the
 parallelism levels stand in for N and 4N executors — no real cluster in
-this sandbox).
+this sandbox. Compression note: stage snapshots and at-rest tables are
+snappy here — measured 19s -> 1s write overhead vs zstd at 16 cores;
+long-lived cluster tables should set zstd via table properties.)
 
 ## Methodology
 
 - each level runs in a fresh JVM, **pinned with `taskset` to exactly N
   host CPUs** (unpinned local[N] lets python workers / GC / writer
   threads spill onto extra cores, flattering the small level);
-- levels are interleaved across {reps} reps and the **min per level** is
-  reported — this shared host drifts +-40% in raw CPU throughput over
+- all levels are interleaved across {reps} reps and the **min per level**
+  is reported — this shared host drifts +-40% in raw CPU throughput over
   tens of minutes (verified with a pure-multiprocessing probe), so
   single-shot timings are meaningless;
-- same prepared input, same shuffle-partition count (64) at both levels:
+- same prepared input, same shuffle-partition count (64) at every level:
   a scaling run varies cores with the plan shape fixed, as adding
   executors to a real cluster does.
 
@@ -173,10 +199,12 @@ The extraction workload (vectorized string parsing) is memory-bandwidth
 bound. Pure-pandas probes of the extractor OUTSIDE Spark (multiprocessing,
 zero framework overhead) measured on this host:
 2->8 workers ~0.9 efficiency, 4->16 workers ~0.6-0.66 — DRAM saturates
-near 8-12 active string-processing workers. The level pair above is chosen
-inside the host's linear region; on a real multi-executor cluster each
-node brings its own memory channels, so the bandwidth wall the sandbox
-hits at 16 local workers does not exist at N nodes -> 4N nodes.
+near 8-12 active string-processing workers. The 2->8 pair sits inside the
+host's linear region; 4->16 is published as corroboration and straddles
+the DRAM wall, so its efficiency bounds what ANY code could achieve on
+this box at 16 workers. On a real multi-executor cluster each node brings
+its own memory channels, so the bandwidth wall the sandbox hits near 16
+local workers does not exist at N nodes -> 4N nodes.
 
 Reference comparison (BASELINE.md): the reference runs 1 JVM, 1 thread,
 whole-graph-in-RAM; it has no benchmark numbers in-repo. Single-node
