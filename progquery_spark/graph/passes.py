@@ -101,17 +101,53 @@ def flow_edges(transcripts: DataFrame) -> DataFrame:
     return next_turn.unionByName(next_same).unionByName(replies).unionByName(tool_res)
 
 
+def autotune_salt_width(
+    mentions: DataFrame,
+    target_per_reducer: int = 2_000_000,
+    max_salt: int = 256,
+    sample_fraction: float = 0.01,
+    seed: int = 7,
+) -> int:
+    """Choose the salt width from a cheap sampled pre-pass (SURVEY §4.3.1's
+    commitment — width from measurement, not a hard-coded constant).
+
+    Estimator: per-key counts on a seeded ``sample_fraction`` sample; the
+    sampled max scaled by 1/fraction approximates the hottest key's row
+    count; width = ceil(hot_rows / target_per_reducer), clamped to
+    [1, max_salt]. At sandbox scale this correctly returns 1 (no key needs
+    sharding — salting unskewed data is pure overhead); at 10^12 turns a
+    hot nation key holds ~10^10 mentions and the width saturates at
+    max_salt. The choice only shapes the shuffle: the two-phase count is
+    value-identical for every width (equivalence-tested).
+    """
+    import math
+
+    ent = mentions.filter(F.col("mention_type") != "literal")
+    row = (
+        ent.sample(fraction=sample_fraction, seed=seed)
+        .groupBy("norm_key")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("mx"))
+        .first()
+    )
+    est_hot = (row["mx"] or 0) / sample_fraction
+    return int(min(max_salt, max(1, math.ceil(est_hot / target_per_reducer))))
+
+
 def salted_mention_counts(
-    mentions: DataFrame, alias_map: DataFrame, n_salt: int = 16
+    mentions: DataFrame, alias_map: DataFrame, n_salt: int | None = None
 ) -> DataFrame:
     """Per-canonical-entity mention counts via two-phase salted aggregation.
 
-    Phase 1 shards each hot key across ``n_salt`` reducers; phase 2 merges
-    the partials. For a commutative count the result is identical to a
+    Phase 1 shards each hot key across ``n_salt`` reducers (width
+    autotuned from a sampled pre-pass when not given); phase 2 merges the
+    partials. For a commutative count the result is identical to a
     one-phase groupBy — the point is the shuffle shape at 10^12 rows
     (reference has no analog: a single-JVM HashMap doesn't feel skew —
     SURVEY.md §4.3.1).
     """
+    if n_salt is None:
+        n_salt = autotune_salt_width(mentions)
     m = (
         mentions.filter(F.col("mention_type") != "literal")
         .join(F.broadcast(alias_map), "norm_key", "left")

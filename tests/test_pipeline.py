@@ -116,6 +116,10 @@ def test_salted_agg_equivalence(spark):
         (r["canonical_key"], r["n_mentions"])
         for r in salted_mention_counts(m, amap, n_salt=8).collect()
     }
+    autotuned = {
+        (r["canonical_key"], r["n_mentions"])
+        for r in salted_mention_counts(m, amap).collect()  # autotuned width
+    }
     plain = {
         (r["norm_key"], r["cnt"])
         for r in m.filter(F.col("mention_type") != "literal")
@@ -124,3 +128,4 @@ def test_salted_agg_equivalence(spark):
         .collect()
     }
     assert salted == plain
+    assert autotuned == plain
