@@ -233,6 +233,58 @@ def entity_reachability(
     return reached
 
 
+def must_reach_fixpoint(
+    modality: DataFrame, max_rounds: int = 16
+) -> DataFrame:
+    """G4 analog — iterative summary propagation to fixpoint.
+
+    The reference's interprocedural pass is a memoized DFS that merges
+    callee summaries into callers until stable
+    (InterproceduralPDG.java:18-187, driver
+    ASTAuxiliarStorage.doInterproceduralPDGAnalysis:133-151): each
+    method's final summary is its transitive view over must-executed
+    callees. The distributed form is semi-naive transitive closure over
+    the 'must'-modality entity edges: per round, only the previous
+    frontier joins the edge set (new facts only — the memoization
+    analog), anti-joined against everything reached, localCheckpoint to
+    truncate lineage; rounds stop when no new pairs appear (fixpoint),
+    bounded by max_rounds. Type structure makes the must-graph a DAG
+    (customer -> {nation, order}, order -> part, part -> supplier), so
+    the bound is slack.
+
+    Returns (src, dst, hops) with hops = min must-path length >= 1.
+    """
+    from ..canonicalize.remap import OBJ_IS_ENTITY
+
+    edges = (
+        modality.filter(
+            (F.col("modality") == "must") & F.col("pred").isin(*OBJ_IS_ENTITY)
+        )
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    reached = edges.withColumn("hops", F.lit(1).cast("int")).localCheckpoint(
+        eager=True
+    )
+    frontier = reached
+    for hop in range(2, max_rounds + 1):
+        nxt = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.dst") == F.col("e.src"))
+            .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
+            .dropDuplicates(["src", "dst"])
+            .join(reached, ["src", "dst"], "left_anti")
+            .withColumn("hops", F.lit(hop).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        reached = reached.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return reached
+
+
 def consensus_modality(canonical_triples: DataFrame) -> DataFrame:
     """A4/G4 analog: per (subj, pred, obj), 'must' iff every conversation
     mentioning the subject asserts the triple.

@@ -560,24 +560,59 @@ def edge_props_sql() -> str:
     )
 
 
+_MODALITY_CTES = """
+per_conv AS (SELECT DISTINCT conv_id, subj, pred, obj FROM triples_canon),
+subj_convs AS (SELECT subj, COUNT(*) AS n_conv_subj FROM
+                (SELECT DISTINCT conv_id, subj FROM per_conv) GROUP BY subj),
+asserting AS (SELECT subj, pred, obj, COUNT(*) AS n_conv_asserting
+              FROM per_conv GROUP BY subj, pred, obj)
+"""
+
+
 def modality_sql() -> str:
-    extra = """
-    per_conv AS (SELECT DISTINCT conv_id, subj, pred, obj FROM triples_canon),
-    subj_convs AS (SELECT subj, COUNT(*) AS n_conv_subj FROM
-                    (SELECT DISTINCT conv_id, subj FROM per_conv) GROUP BY subj),
-    asserting AS (SELECT subj, pred, obj, COUNT(*) AS n_conv_asserting
-                  FROM per_conv GROUP BY subj, pred, obj)
-    """
     return _with(
         _BASE_CTES,
         _TRIPLES_CTE,
         _TRIPLES_CANON_CTE,
-        extra,
+        _MODALITY_CTES,
         select="""
         SELECT a.subj, a.pred, a.obj, a.n_conv_asserting, s.n_conv_subj,
                CASE WHEN a.n_conv_asserting = s.n_conv_subj THEN 'must' ELSE 'may' END AS modality
         FROM asserting a JOIN subj_convs s ON s.subj = a.subj
         """,
+    )
+
+
+def must_reach_sql() -> str:
+    """G4 fixpoint oracle: transitive closure over 'must' entity edges as
+    a recursive CTE; MIN(hops) equals the semi-naive BFS discovery level.
+    Termination: the must-graph is a DAG by entity-type structure (see
+    must_reach_fixpoint)."""
+    body = f"""
+must_edges AS (
+  SELECT DISTINCT a.subj AS src, a.obj AS dst
+  FROM asserting a JOIN subj_convs s ON s.subj = a.subj
+  WHERE a.n_conv_asserting = s.n_conv_subj AND a.pred IN {_ENTITY_PREDS}),
+mreach AS (
+  SELECT src, dst, 1 AS hops FROM must_edges
+  UNION
+  SELECT r.src, e.dst, r.hops + 1
+  FROM mreach r JOIN must_edges e ON e.src = r.dst)
+"""
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(
+            c.strip().strip(",")
+            for c in (
+                _BASE_CTES,
+                _TRIPLES_CTE,
+                _TRIPLES_CANON_CTE,
+                _MODALITY_CTES,
+                body,
+            )
+        )
+        + "\nSELECT src, dst, CAST(MIN(hops) AS INT) AS hops "
+        "FROM mreach GROUP BY src, dst"
     )
 
 

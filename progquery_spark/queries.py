@@ -42,6 +42,7 @@ from .graph.passes import (
     consensus_modality,
     entity_reachability,
     flow_edges,
+    must_reach_fixpoint,
     salted_mention_counts,
 )
 from .linking.exact import (
@@ -241,6 +242,13 @@ def q_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return consensus_modality(q_triples_canonical(spark, sf_dir))
 
 
+def q_must_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 analog: iterative summary-propagation fixpoint — transitive
+    closure over 'must'-modality entity edges (semi-naive, per-round
+    checkpointing; InterproceduralPDG.java:18-187)."""
+    return must_reach_fixpoint(q_modality(spark, sf_dir))
+
+
 def q_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3/G5 analog: BFS entity reachability from nation roots."""
     return entity_reachability(q_triples_canonical(spark, sf_dir))
@@ -268,6 +276,7 @@ def kg_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edge_props": q_edge_props,
         "kg_next_turn": q_next_turn,
         "kg_modality": q_modality,
+        "kg_must_reach": q_must_reach,
         "kg_reachability": q_reachability,
         "kg_mention_counts": q_mention_counts,
     }
@@ -291,6 +300,7 @@ def kg_oracles() -> dict[str, str]:
         "kg_edge_props": O.edge_props_sql(),
         "kg_next_turn": O.next_turn_sql(),
         "kg_modality": O.modality_sql(),
+        "kg_must_reach": O.must_reach_sql(),
         "kg_reachability": O.reachability_sql(),
         "kg_mention_counts": O.mention_counts_sql(),
     }
