@@ -47,6 +47,42 @@ def test_remap_broadcasts_alias_map(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_no_cartesian_in_similarity_plans(spark):
+    """VERDICT r1: no registered query may plan a cartesian product —
+    embedding near-dup and IVF search must equi-join on the quantizer
+    bucket."""
+    from progquery_spark.ops.similarity import q_ann_ivf, q_dedup_embedding
+
+    for q in (q_dedup_embedding, q_ann_ivf):
+        plan = _plan(q(spark, "/root/testdata/sf0.001"))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_no_global_sort_in_dedup_plans(spark):
+    """VERDICT r1: gram-id assignment must not funnel the vocabulary
+    through a single-partition window (row_number over an unpartitioned
+    ORDER BY). The poly-hash gid is pure per-row arithmetic."""
+    from progquery_spark.ops.dedup import (
+        q_dedup_minhash_lsh,
+        q_dedup_ngram_jaccard,
+        q_dedup_simhash,
+    )
+
+    for q in (q_dedup_minhash_lsh, q_dedup_ngram_jaccard, q_dedup_simhash):
+        plan = _plan(q(spark, "/root/testdata/sf0.001"))
+        assert "row_number" not in plan, plan
+
+
+def test_exact_dedup_shuffles_on_hash_not_text(spark):
+    """The exact-dedup window partitions on xxhash64(text), never on the
+    document body itself."""
+    from progquery_spark.ops.dedup import q_dedup_exact
+
+    plan = _plan(q_dedup_exact(spark, "/root/testdata/sf0.001"))
+    assert "hashpartitioning(h#" in plan or "hashpartitioning(h " in plan, plan
+
+
 def test_transcript_scan_column_pruning(spark, tmp_path):
     tr = to_spark(spark, make_fixture(n_convs=4))
     path = str(tmp_path / "tr")
