@@ -309,15 +309,70 @@ def _extract_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield from _chunked(extract_pandas(carry))
 
 
-def extract(transcripts: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """The extraction stage: one shuffle (by conv_id), one Arrow pass."""
+# Input slice size for the buffered (pre-bucketed) path. Extraction makes
+# ~20 vectorized passes over its frame; a ~10k-row slice (~1 MB of text)
+# stays cache-resident across passes, while one whole-split frame (~450k
+# rows) streams through DRAM on every pass — measured 2x slower end-to-end
+# at 16 workers on this DRAM-limited host.
+_IN_CHUNK = 10_000
+
+
+def _extract_buffered_iter(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for PRE-BUCKETED input: buffer the task's whole
+    split, sort it once, then stream cache-sized conv-contiguous slices
+    through the same carry-over extractor the shuffle path uses. Memory is
+    bounded by the scan split size (spark.sql.files.maxPartitionBytes),
+    not the corpus."""
+    parts = [p for p in batches if len(p)]
+    if not parts:
+        return
+    pdf = pd.concat(parts, ignore_index=True).sort_values(
+        ["conv_id", "turn_idx"], kind="stable", ignore_index=True
+    )
+    slices = (pdf.iloc[i : i + _IN_CHUNK] for i in range(0, len(pdf), _IN_CHUNK))
+    yield from _extract_iter(slices)
+
+
+def extract(
+    transcripts: DataFrame,
+    num_partitions: int | None = None,
+    pre_bucketed: bool = False,
+) -> DataFrame:
+    """The extraction stage.
+
+    Default path: one shuffle (repartition by conv_id) + sort + one Arrow
+    pass, with conversations carried across Arrow batches.
+
+    ``pre_bucketed=True`` is the ZERO-SHUFFLE path for input that is
+    already conversation-bucketed in storage — the production layout
+    (Iceberg hidden ``bucket(conv_id)`` partitioning, SURVEY.md §4.2): a
+    storage-partitioned scan already co-locates every conversation's
+    turns inside one file, so the repartition+sort — which re-materializes
+    the full text column through shuffle write, fetch, and external sort
+    (3+ extra memory-bandwidth passes over the corpus; measured as the
+    difference between 0.88 and ~0.35 scaling efficiency at 16 local
+    workers on tmpfs) — is pure waste. The worker instead buffers its
+    whole scan split and extracts once.
+
+    CORRECTNESS REQUIREMENT for pre_bucketed: every conversation's rows
+    must live in ONE file, and files must not be split mid-file — set
+    ``spark.sql.files.maxPartitionBytes`` >= the largest input file
+    (whole files may still be packed together; that preserves
+    conversation completeness). Violating this silently drops item turns
+    of straddling conversations (the extractor's defensive
+    context-missing drop), so callers must know their input layout.
+    """
+    pruned = transcripts.select("conv_id", "turn_idx", "text")
+    if pre_bucketed:
+        return pruned.mapInPandas(_extract_buffered_iter, EXTRACTION_SCHEMA)
     spark = transcripts.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return (
-        transcripts.repartition(num_partitions, "conv_id")
+        pruned.repartition(num_partitions, "conv_id")
         .sortWithinPartitions("conv_id", "turn_idx")
-        .select("conv_id", "turn_idx", "text")  # column pruning before Arrow
         .mapInPandas(_extract_iter, EXTRACTION_SCHEMA)
     )
 

@@ -110,3 +110,30 @@ def test_duplicate_trap_dedup(spark):
         .count()
     )
     assert dup == 0
+
+
+def test_pre_bucketed_extraction_equals_shuffled(spark, tmp_path):
+    """The zero-shuffle pre-bucketed path (storage bucket(conv_id) layout)
+    must emit exactly the rows of the shuffle+sort path — and its plan
+    must contain no Exchange."""
+    fx = make_fixture(n_convs=12, zipf_lengths=True, seed=5)
+    tr = to_spark(spark, fx)
+    path = str(tmp_path / "bucketed")
+    # the production layout: conversations co-located per file
+    tr.repartition(4, "conv_id").write.parquet(path)
+    bucketed = spark.read.parquet(path)
+
+    key = ["kind", "conv_id", "turn_idx", "span_start", "span_end"]
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.select(*key).collect())
+
+    fast = extract(bucketed, pre_bucketed=True)
+    assert rows(fast) == rows(extract(tr))
+
+    plan = fast._jdf.queryExecution().explainString(
+        fast._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Exchange" not in plan, plan

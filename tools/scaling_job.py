@@ -19,12 +19,20 @@ import time
 
 
 def main() -> None:
+    import os
+
     cpus = int(sys.argv[1])
     input_path = sys.argv[2]
     # fixed partition count across parallelism levels: a scaling comparison
     # varies CORES with the same plan shape (as adding executors to a real
     # cluster does), otherwise partition-count effects pollute the signal
     shuffle = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    # SCALING_BUCKETED=1: input is conversation-bucketed in storage (how
+    # bench_scaling prepares it, and how a production Iceberg
+    # bucket(conv_id) table lays it out) -> zero-shuffle extraction.
+    # maxPartitionBytes must exceed the largest input file so no file is
+    # split mid-conversation (whole-file packing is fine).
+    bucketed = os.environ.get("SCALING_BUCKETED", "0") == "1"
 
     sys.path.insert(0, "/root/repo")
     from progquery_spark.session import get_spark
@@ -37,8 +45,18 @@ def main() -> None:
         surface_stats,
     )
 
+    extra_conf = {}
+    if bucketed:
+        # one whole file (~10 MB here) per scan split: files must never be
+        # split (conv completeness), and ~1 file/split keeps task count =
+        # n_files = 64 at every level
+        extra_conf["spark.sql.files.maxPartitionBytes"] = str(16 * 1024 * 1024)
+        extra_conf["spark.sql.files.openCostInBytes"] = str(8 * 1024 * 1024)
     spark = get_spark(
-        f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=shuffle
+        f"scaling-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=shuffle,
+        extra_conf=extra_conf,
     )
     tr = spark.read.parquet(input_path)
     n_turns = tr.count()  # warm the file index; not part of the timed chain
@@ -48,7 +66,9 @@ def main() -> None:
     # snapshot); .persist() deliberately avoided — building a deserialized
     # cache of the full extraction is serialization-bound and anti-scales
     ex_path = f"{input_path}._ex_{cpus}"
-    extract(tr).write.mode("overwrite").partitionBy("kind").parquet(ex_path)
+    extract(tr, pre_bucketed=bucketed).write.mode("overwrite").partitionBy(
+        "kind"
+    ).parquet(ex_path)
     ex = spark.read.parquet(ex_path)
     m = mentions_of(ex)
     # one corpus-sized shuffle for the whole linking phase; small result,
