@@ -256,32 +256,46 @@ def must_reach_fixpoint(
     """
     from ..canonicalize.remap import OBJ_IS_ENTITY
 
-    edges = (
-        modality.filter(
-            (F.col("modality") == "must") & F.col("pred").isin(*OBJ_IS_ENTITY)
-        )
-        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
-        .dropDuplicates(["src", "dst"])
-        .localCheckpoint(eager=True)
-    )
-    reached = edges.withColumn("hops", F.lit(1).cast("int")).localCheckpoint(
-        eager=True
-    )
-    frontier = reached
-    for hop in range(2, max_rounds + 1):
-        nxt = (
-            frontier.alias("f")
-            .join(edges.alias("e"), F.col("f.dst") == F.col("e.src"))
-            .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
+    spark = modality.sparkSession
+    # Workaround for a Catalyst constraint-rewrite failure on iterative
+    # self-unions: round-N's union children are checkpointed frames that
+    # still share attribute ids through the common `edges` lineage, and
+    # UnionBase.rewriteConstraints can throw `key not found: src#N` while
+    # planning the checkpoint (observed at sf0.01). Constraint propagation
+    # buys nothing for this loop (every round is materialized anyway), so
+    # scope it off and restore afterwards.
+    cp_key = "spark.sql.constraintPropagation.enabled"
+    cp_prev = spark.conf.get(cp_key, "true")
+    spark.conf.set(cp_key, "false")
+    try:
+        edges = (
+            modality.filter(
+                (F.col("modality") == "must") & F.col("pred").isin(*OBJ_IS_ENTITY)
+            )
+            .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
             .dropDuplicates(["src", "dst"])
-            .join(reached, ["src", "dst"], "left_anti")
-            .withColumn("hops", F.lit(hop).cast("int"))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
-            break
-        reached = reached.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
+        reached = edges.withColumn("hops", F.lit(1).cast("int")).localCheckpoint(
+            eager=True
+        )
+        frontier = reached
+        for hop in range(2, max_rounds + 1):
+            nxt = (
+                frontier.alias("f")
+                .join(edges.alias("e"), F.col("f.dst") == F.col("e.src"))
+                .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
+                .dropDuplicates(["src", "dst"])
+                .join(reached, ["src", "dst"], "left_anti")
+                .withColumn("hops", F.lit(hop).cast("int"))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            reached = reached.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+    finally:
+        spark.conf.set(cp_key, cp_prev)
     return reached
 
 
