@@ -134,6 +134,8 @@ def build_nodes(
             F.max("mention_type").alias("mention_type"),
             F.min("name").alias("name"),
             F.max("is_declared").alias("is_declared"),
+            F.sum("n_mentions").alias("nm"),
+            F.sum("n_surfaces").alias("ns"),
         )
         .select(
             node_id(F.lit("entity"), "ck").alias("node_id"),
@@ -141,6 +143,16 @@ def build_nodes(
             F.col("name"),
             F.col("ck").alias("canonical_key"),
             F.col("is_declared"),
+            # analysis results as node attributes — the reference stamps
+            # computed facts onto nodes the same way (mustBeExecuted,
+            # isInitializer — ASTTypesVisitor.java:228,
+            # ASTAuxiliarStorage.java:176-177)
+            F.create_map(
+                F.lit("n_mentions"),
+                F.col("nm").cast("string"),
+                F.lit("n_surfaces"),
+                F.col("ns").cast("string"),
+            ).alias("props"),
         )
     )
     lit_nodes = (

@@ -460,6 +460,28 @@ def node_counts_sql() -> str:
     )
 
 
+def node_props_sql() -> str:
+    """ENTITY nodes: n = distinct keys per type, sum_v = total mentions
+    (exact alias map is the identity, so per-canonical == per-norm-key);
+    TURN nodes: sum_v = total chars."""
+    tcte = duckdb_transcripts_cte().replace("WITH ", "")
+    return _with(
+        tcte,
+        _BASE_CTES,
+        _MENTIONS_CTE,
+        select="""
+        SELECT upper(mention_type) AS node_type,
+               COUNT(DISTINCT norm_key) AS n,
+               CAST(COUNT(*) AS BIGINT) AS sum_v
+        FROM mentions WHERE mention_type <> 'literal'
+        GROUP BY upper(mention_type)
+        UNION ALL
+        SELECT 'TURN', COUNT(*), CAST(SUM(length(text)) AS BIGINT)
+        FROM transcripts
+        """,
+    )
+
+
 def edge_counts_sql() -> str:
     # semantic edge counts = distinct (subj, obj, ordinal) per pred;
     # structure/link counts from mention cardinalities; flow counts via

@@ -18,10 +18,12 @@ Inventory mapping (SURVEY.md §2):
   kg_link_edges         G3     ALIAS_OF + MAY_REFER_TO fan-out w/
                                trustable pruning (HierarchyAnalysis)
   kg_node_counts        S4/§1  node materialization (typed + hypernyms)
+  kg_node_props         §1.2   analysis results as node attributes
   kg_edge_counts        S4/C3  edge materialization + dedup + flow (G1)
   kg_edge_props         §1.3   property-bearing edges (gap_s, provenance)
   kg_next_turn          G1     CFG-analog sequential threading
   kg_modality           A4/G4  consensus may/must
+  kg_must_reach         G4     iterative summary-propagation fixpoint
   kg_reachability       G3/G5  iterative BFS over the entity DAG
   kg_mention_counts     §4.3.1 salted two-phase aggregation
 """
@@ -190,6 +192,30 @@ def q_node_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.groupBy("node_type").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_node_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-property audit (§1.2 'analysis results as attributes'):
+    ENTITY-family nodes carry n_mentions/n_surfaces, TURN nodes carry
+    n_chars — summed per node_type so the value hash certifies the
+    attribute values themselves."""
+    tr = _transcripts(spark, sf_dir)
+    ex = _extraction(spark, sf_dir)
+    m = mentions_of(ex)
+    stats = surface_stats(m)
+    ents = link_entities_from_stats(stats)
+    amap = _alias_map_from_stats(stats)
+    nodes = build_nodes(tr, m, ents, amap)
+    v = F.coalesce(
+        F.col("props")["n_mentions"], F.col("props")["n_chars"]
+    ).cast("long")
+    return (
+        nodes.filter(F.col("node_type").isin(
+            "TURN", "CUSTOMER", "NATION", "ORDER", "PART", "SUPPLIER"
+        ))
+        .groupBy("node_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(v).alias("sum_v"))
+    )
+
+
 def q_edge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = _transcripts(spark, sf_dir)
     ex = _extraction(spark, sf_dir)
@@ -272,6 +298,7 @@ def kg_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_canonical_fuzzy": q_triples_canonical_fuzzy,
         "kg_link_edges": q_link_edges,
         "kg_node_counts": q_node_counts,
+        "kg_node_props": q_node_props,
         "kg_edge_counts": q_edge_counts,
         "kg_edge_props": q_edge_props,
         "kg_next_turn": q_next_turn,
@@ -296,6 +323,7 @@ def kg_oracles() -> dict[str, str]:
         "kg_triples_canonical_fuzzy": O.triples_canonical_fuzzy_sql(),
         "kg_link_edges": O.link_edges_sql(),
         "kg_node_counts": O.node_counts_sql(),
+        "kg_node_props": O.node_props_sql(),
         "kg_edge_counts": O.edge_counts_sql(),
         "kg_edge_props": O.edge_props_sql(),
         "kg_next_turn": O.next_turn_sql(),

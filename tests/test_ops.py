@@ -62,12 +62,12 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
         for r in similarity.q_ann_topk(spark, SF).collect()
     }
     ivf = similarity.q_ann_ivf(spark, SF).collect()
-    labels = {
-        r["vec_id"]: r["label"]
-        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    buckets = {
+        r["vec_id"]: r["bucket"]
+        for r in similarity._vecs(spark, SF).select("vec_id", "bucket").collect()
     }
     for r in ivf:
-        assert labels[r["query_id"]] == labels[r["neighbor_id"]]
+        assert buckets[r["query_id"]] == buckets[r["neighbor_id"]]
     # every ivf hit that also appears in brute-force top-k agrees on score
     for r in ivf:
         key = (r["query_id"], r["neighbor_id"])
