@@ -249,6 +249,38 @@ def _simhash(dg: DataFrame) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment — the operator a dedup pipeline
+    actually ships: verified MinHash-LSH pairs -> connected components
+    (the same min-label CC the KG canonicalization uses) -> every doc
+    mapped to its cluster keeper (min doc_id), singletons to themselves.
+
+    Doc ids ride through CC as zero-padded strings so lexicographic
+    min == numeric min; the DuckDB oracle computes the closure with a
+    recursive CTE (near-dup components are tiny stars/chains)."""
+    from ..canonicalize.cc import connected_components
+
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    pad = lambda c: F.format_string("%012d", F.col(c))  # noqa: E731
+    labels, _ = connected_components(
+        pairs.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst"))
+    )
+    lab = labels.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("keeper_id"),
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(lab, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("keeper_id", "doc_id").alias("keeper_id"),
+        )
+        .withColumn("is_dup", F.col("doc_id") != F.col("keeper_id"))
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash(_doc_gids(_docs(spark, sf_dir)))
 
@@ -288,6 +320,7 @@ def queries():
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
     }
@@ -340,8 +373,29 @@ def _jaccard_select(pairs_cte: str) -> str:
     """
 
 
-def oracles():
+def _minhash_ctes() -> str:
+    """perms -> signatures -> band keys -> candidate pairs (CTE chain
+    shared by the LSH oracle and the clusters oracle)."""
     rows_per_band = N_PERM // N_BANDS
+    return f"""
+        perms(i, a, b) AS (VALUES {_perm_values(N_PERM, _A, _B)}),
+        sig AS (
+          SELECT doc_id, p.i, MIN((p.a * dg.gid + p.b) % {_M}) AS v
+          FROM dg CROSS JOIN perms p GROUP BY doc_id, p.i),
+        buckets AS (
+          SELECT doc_id, i // {rows_per_band} AS band,
+                 MAX(CASE WHEN i % 2 = 0 THEN v END) * {_M}
+                   + MAX(CASE WHEN i % 2 = 1 THEN v END) AS band_key
+          FROM sig GROUP BY doc_id, i // {rows_per_band}),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM buckets a JOIN buckets b
+            ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id)
+    """
+
+
+def oracles():
     return {
         "dedup_exact": """
         WITH dupful AS (
@@ -364,21 +418,34 @@ def oracles():
         """,
         "dedup_minhash_lsh": f"""
         WITH {_GRAM_CTES},
-        perms(i, a, b) AS (VALUES {_perm_values(N_PERM, _A, _B)}),
-        sig AS (
-          SELECT doc_id, p.i, MIN((p.a * dg.gid + p.b) % {_M}) AS v
-          FROM dg CROSS JOIN perms p GROUP BY doc_id, p.i),
-        buckets AS (
-          SELECT doc_id, i // {rows_per_band} AS band,
-                 MAX(CASE WHEN i % 2 = 0 THEN v END) * {_M}
-                   + MAX(CASE WHEN i % 2 = 1 THEN v END) AS band_key
-          FROM sig GROUP BY doc_id, i // {rows_per_band}),
-        pairs AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM buckets a JOIN buckets b
-            ON a.band = b.band AND a.band_key = b.band_key
-           AND a.doc_id < b.doc_id),
+        {_minhash_ctes()},
         {_jaccard_select('pairs')}
+        """,
+        "dedup_clusters": f"""
+        WITH RECURSIVE {_GRAM_CTES},
+        {_minhash_ctes()},
+        inter AS (
+          SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+          FROM pairs p
+          JOIN dg a ON a.doc_id = p.doc_a
+          JOIN dg b ON b.doc_id = p.doc_b AND b.gid = a.gid
+          GROUP BY p.doc_a, p.doc_b),
+        dup AS (
+          SELECT i.doc_a, i.doc_b FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.doc_a
+          JOIN sizes sb ON sb.doc_id = i.doc_b
+          WHERE (1000 * i.i) // (sa.n + sb.n - i.i) >= {JAC_PM}),
+        und AS (SELECT doc_a AS a, doc_b AS b FROM dup
+                UNION SELECT doc_b, doc_a FROM dup),
+        reach AS (
+          SELECT a AS d, a AS r FROM (SELECT DISTINCT a FROM und)
+          UNION
+          SELECT re.d, u.b FROM reach re JOIN und u ON u.a = re.r),
+        cmap AS (SELECT d AS doc_id, MIN(r) AS keeper FROM reach GROUP BY d)
+        SELECT doc.doc_id,
+               COALESCE(c.keeper, doc.doc_id) AS keeper_id,
+               COALESCE(c.keeper, doc.doc_id) <> doc.doc_id AS is_dup
+        FROM documents doc LEFT JOIN cmap c ON c.doc_id = doc.doc_id
         """,
         "dedup_simhash": f"""
         WITH {_GRAM_CTES},
