@@ -92,6 +92,34 @@ def _bucket_expr(qcol):
     return F.array_min(F.transform(cents, _score)).getField("k")
 
 
+N_PROBE = 2
+
+
+def _probe_buckets_expr(qcol, n_probe: int = N_PROBE):
+    """Top-n_probe nearest buckets (multiprobe IVF): same spherical score,
+    best n centroid ids in score order."""
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.array(*[F.lit(v) for v in _CENTS[k]]).alias("c"),
+            )
+            for k in range(N_CENTROIDS)
+        ]
+    )
+
+    def _score(ct):
+        dot = F.aggregate(
+            F.zip_with(qcol, ct.c, lambda x, y: x * y.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        return F.struct((-dot).alias("score"), ct.k.cast("int").alias("k"))
+
+    ranked = F.array_sort(F.transform(cents, _score))
+    return F.transform(F.slice(ranked, 1, n_probe), lambda s: s.getField("k"))
+
+
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_sf_views(spark, sf_dir)
     q = F.transform(
@@ -192,11 +220,39 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(pairs)
 
 
+def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe IVF top-k: each query searches its N_PROBE nearest
+    buckets — the standard recall lever when the true neighbor falls just
+    across a Voronoi boundary. A candidate lives in exactly one bucket,
+    so probing n buckets cannot duplicate (query, neighbor) pairs."""
+    v = _vecs(spark, sf_dir)
+    qs = (
+        v.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(_probe_buckets_expr(F.col("q"))).alias("bucket"),
+            F.col("q").alias("q_a"),
+            F.col("n2").alias("n2_a"),
+        )
+    )
+    cands = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "bucket",
+        F.col("q").alias("q_b"),
+        F.col("n2").alias("n2_b"),
+    )
+    pairs = _pair_cos(F.broadcast(qs), cands, ["bucket"]).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    return _topk(pairs)
+
+
 def queries():
     return {
         "dedup_embedding": q_dedup_embedding,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
     }
 
 
@@ -250,6 +306,33 @@ def oracles():
           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.qe * b.qe) AS dot
           FROM ex a JOIN ex b ON a.pos = b.pos AND a.vec_id <> b.vec_id
           WHERE a.vec_id < {N_QUERIES}
+          GROUP BY a.vec_id, b.vec_id),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 {_cos_sql('dot', 'na.n2', 'nb.n2')} AS cos_pm
+          FROM dots JOIN nrm na ON na.vec_id = query_id
+                    JOIN nrm nb ON nb.vec_id = neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos_pm,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos_pm DESC, neighbor_id ASC) AS INT) AS rnk
+          FROM scored)
+        SELECT query_id, neighbor_id, rnk, cos_pm FROM ranked WHERE rnk <= {TOP_K}
+        """,
+        "ann_ivf_multiprobe": f"""
+        WITH {_QVEC_CTE},
+        probe AS (
+          SELECT vec_id, CAST(k AS INT) AS bucket FROM (
+            SELECT vec_id, k,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY -dot, k) AS rn
+            FROM cdot WHERE vec_id < {N_QUERIES})
+          WHERE rn <= {N_PROBE}),
+        dots AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.qe * b.qe) AS dot
+          FROM ex a JOIN ex b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+          JOIN probe p ON p.vec_id = a.vec_id
+          JOIN assign ab ON ab.vec_id = b.vec_id AND ab.bucket = p.bucket
           GROUP BY a.vec_id, b.vec_id),
         scored AS (
           SELECT query_id, neighbor_id,

@@ -110,3 +110,21 @@ def test_reachability_bfs_levels(spark):
     lvl = {1: "customer:", 2: "order:", 3: "part:"}
     for h, pfx in lvl.items():
         assert r[r.hops == h].node.str.startswith(pfx).all()
+
+
+def test_multiprobe_recall_at_least_single_probe(spark):
+    """Probing 2 buckets can only widen the candidate set, so recall
+    against the brute-force truth must not drop."""
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.q_ann_topk(spark, SF).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.q_ann_ivf(spark, SF).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.q_ann_ivf_multiprobe(spark, SF).collect()
+    }
+    assert len(multi & truth) >= len(single & truth)
