@@ -99,6 +99,23 @@ def _alias_map(mentions: DataFrame, entities: DataFrame) -> DataFrame:
     return canonical_map(labels, entities.select("norm_key"))
 
 
+# Exact alias map cached per (session, sf_dir), like _EX_CACHE: the CC
+# loop is driver-coordinated (per-round jobs), so nine oracle queries
+# re-running it from scratch is pure waste. Fixture-fed helpers above stay
+# uncached (content isn't keyable by path).
+_AMAP_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _alias_map_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _AMAP_CACHE.get(key)
+    if df is None:
+        m = mentions_of(_extraction(spark, sf_dir))
+        df = _alias_map_from_stats(surface_stats(m)).localCheckpoint(eager=True)
+        _AMAP_CACHE[key] = df
+    return df
+
+
 def q_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _transcripts(spark, sf_dir).select(
         "conv_id",
@@ -123,13 +140,12 @@ def q_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_alias_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = mentions_of(_extraction(spark, sf_dir))
-    return _alias_map_from_stats(surface_stats(m))
+    return _alias_map_cached(spark, sf_dir)
 
 
 def q_triples_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = _extraction(spark, sf_dir)
-    amap = _alias_map_from_stats(surface_stats(mentions_of(ex)))
+    amap = _alias_map_cached(spark, sf_dir)
     return canonicalize_triples(triples_of(ex), amap)
 
 
@@ -187,7 +203,7 @@ def q_node_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = mentions_of(ex)
     stats = surface_stats(m)
     ents = link_entities_from_stats(stats)
-    amap = _alias_map_from_stats(stats)
+    amap = _alias_map_cached(spark, sf_dir)
     nodes = build_nodes(tr, m, ents, amap)
     return nodes.groupBy("node_type").agg(F.count(F.lit(1)).alias("n"))
 
@@ -202,7 +218,7 @@ def q_node_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = mentions_of(ex)
     stats = surface_stats(m)
     ents = link_entities_from_stats(stats)
-    amap = _alias_map_from_stats(stats)
+    amap = _alias_map_cached(spark, sf_dir)
     nodes = build_nodes(tr, m, ents, amap)
     v = F.coalesce(
         F.col("props")["n_mentions"], F.col("props")["n_chars"]
@@ -220,7 +236,7 @@ def q_edge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = _transcripts(spark, sf_dir)
     ex = _extraction(spark, sf_dir)
     m = mentions_of(ex)
-    amap = _alias_map_from_stats(surface_stats(m))
+    amap = _alias_map_cached(spark, sf_dir)
     tcanon = canonicalize_triples(triples_of(ex), amap)
     edges = build_edges(tr, m, tcanon, amap).unionByName(flow_edges(tr))
     return edges.groupBy("rel_graph", "rel_type").agg(F.count(F.lit(1)).alias("n"))
@@ -235,7 +251,7 @@ def q_edge_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = _transcripts(spark, sf_dir)
     ex = _extraction(spark, sf_dir)
     m = mentions_of(ex)
-    amap = _alias_map_from_stats(surface_stats(m))
+    amap = _alias_map_cached(spark, sf_dir)
     tcanon = canonicalize_triples(triples_of(ex), amap)
     edges = build_edges(tr, m, tcanon, amap).unionByName(flow_edges(tr))
     v = F.coalesce(
@@ -282,7 +298,7 @@ def q_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = mentions_of(_extraction(spark, sf_dir))
-    amap = _alias_map_from_stats(surface_stats(m))
+    amap = _alias_map_cached(spark, sf_dir)
     return salted_mention_counts(m, amap)
 
 
