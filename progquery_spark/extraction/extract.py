@@ -161,13 +161,22 @@ def _match(text: pd.Series, prefix: str, regex) -> pd.DataFrame:
     return m[m[0].notna()]
 
 
-def extract_pandas(turns: pd.DataFrame) -> pd.DataFrame:
+def extract_pandas(
+    turns: pd.DataFrame, ctx_in: dict | None = None
+) -> pd.DataFrame:
     """Vectorized extraction over a frame of whole conversations.
 
     ``turns`` must contain every turn of every conversation it mentions
     (the carry-over logic in ``_extract_iter`` guarantees this) and be
     sorted by (conv_id, turn_idx). Pure pandas — also used directly by the
     test oracle.
+
+    ``ctx_in`` optionally seeds the conversation context (conv_id ->
+    declared order key) for conversations whose declaring turn was
+    already processed in an earlier chunk (the long-conversation
+    chunked-prefix path, see _extract_iter); in-frame declarations take
+    precedence. Resolved context is exposed on the result as
+    ``.attrs['ctx']`` so callers can carry it forward.
     """
     text = turns["text"]
     conv = turns["conv_id"]
@@ -202,8 +211,9 @@ def extract_pandas(turns: pd.DataFrame) -> pd.DataFrame:
         ]
 
     # conversation context: order key declared in intro (or final) turn —
-    # needed by item turns whose text does not repeat the key.
-    ctx = {}
+    # needed by item turns whose text does not repeat the key. Seeded from
+    # ctx_in for chunked long conversations; in-frame declarations win.
+    ctx = dict(ctx_in or {})
 
     # --- final turns (declares the order too) ------------------------------
     g_final = _match(text, R.FINAL_P0, R.FINAL_RE)
@@ -267,11 +277,14 @@ def extract_pandas(turns: pd.DataFrame) -> pd.DataFrame:
             ]
 
     if not parts:
-        return pd.DataFrame({c: pd.Series(dtype="object") for c in _COLS})
+        out = pd.DataFrame({c: pd.Series(dtype="object") for c in _COLS})
+        out.attrs["ctx"] = ctx
+        return out
     out = _assemble(parts)
     out["turn_idx"] = out["turn_idx"].astype("int32")
     out["span_start"] = out["span_start"].astype("int32")
     out["span_end"] = out["span_end"].astype("int32")
+    out.attrs["ctx"] = ctx
     return out
 
 
@@ -290,9 +303,21 @@ def _chunked(out: pd.DataFrame) -> Iterator[pd.DataFrame]:
         yield out.iloc[i : i + _OUT_CHUNK]
 
 
+# Bounded carry (SURVEY §4.3.2, skew axis A — pathological long
+# conversations): the worker never holds more than MAX_CARRY rows of a
+# trailing conversation. A longer conversation is flushed as chunked
+# prefixes, and only the tiny resolved context (conv -> declared order
+# key) — not the raw rows — travels to the next chunk, so item turns
+# after the cut still resolve their subject. Memory stays O(MAX_CARRY)
+# per worker no matter how long a single conversation is.
+MAX_CARRY = 100_000
+
+
 def _extract_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: carry the trailing conversation across batches."""
+    """mapInPandas worker: carry the trailing conversation across batches,
+    with the carry bounded by MAX_CARRY rows (see above)."""
     carry: pd.DataFrame | None = None
+    ctx_carry: dict = {}
     for pdf in batches:
         if carry is not None and len(carry):
             pdf = pd.concat([carry, pdf], ignore_index=True)
@@ -304,9 +329,22 @@ def _extract_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry = pdf[tail]
         work = pdf[~tail]
         if len(work):
-            yield from _chunked(extract_pandas(work))
+            yield from _chunked(extract_pandas(work, ctx_carry))
+        # context is only ever carried for a flushed-prefix conversation;
+        # once that conversation is no longer the tail it has completed,
+        # so prune to the current tail
+        ctx_carry = {last: ctx_carry[last]} if last in ctx_carry else {}
+        if len(carry) > MAX_CARRY:
+            # oversized conversation: flush the buffered prefix now and
+            # keep only its resolved context for the rest of the rows
+            out = extract_pandas(carry, ctx_carry)
+            yield from _chunked(out)
+            ctx_carry = (
+                {last: out.attrs["ctx"][last]} if last in out.attrs["ctx"] else {}
+            )
+            carry = None
     if carry is not None and len(carry):
-        yield from _chunked(extract_pandas(carry))
+        yield from _chunked(extract_pandas(carry, ctx_carry))
 
 
 # Input slice size for the buffered (pre-bucketed) path. Extraction makes

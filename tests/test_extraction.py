@@ -137,3 +137,52 @@ def test_pre_bucketed_extraction_equals_shuffled(spark, tmp_path):
         )
     )
     assert "Exchange" not in plan, plan
+
+
+def test_long_conversation_bounded_carry(monkeypatch):
+    """SURVEY §4.3.2 skew axis A: a conversation longer than MAX_CARRY is
+    flushed as chunked prefixes with only the resolved context carried —
+    output must equal the unchunked extraction (pure-pandas drive of the
+    worker iterator)."""
+    import pandas as pd
+
+    from progquery_spark.extraction import extract as X
+    from progquery_spark.extraction import rules as R
+
+    intro = (
+        f"{R.INTRO_P0}Customer#000000001{R.INTRO_P1}FRANCE"
+        f"{R.INTRO_P2}777{R.INTRO_P3}1-URGENT."
+    )
+
+    def item(i):
+        return (
+            f"{R.ITEM_P0}{i}{R.ITEM_P1}5{R.ITEM_P2}red widget"
+            f"{R.ITEM_P3}Supplier#000000001."
+        )
+
+    final = f"{R.FINAL_P0}777{R.FINAL_P1}999{R.FINAL_P2}F."
+    n_items = 40
+    rows = (
+        [("conv-long", 0, intro)]
+        + [("conv-long", i, item(i)) for i in range(1, n_items + 1)]
+        + [("conv-long", n_items + 1, final)]
+        + [("conv-x", 0, intro.replace("777", "778"))]
+    )
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+
+    def run(batch_size):
+        batches = [
+            pdf.iloc[i : i + batch_size] for i in range(0, len(pdf), batch_size)
+        ]
+        outs = list(X._extract_iter(iter(batches)))
+        allr = pd.concat(outs) if outs else pd.DataFrame(columns=X._COLS)
+        key = ["kind", "conv_id", "turn_idx", "span_start", "span_end"]
+        return sorted(map(tuple, allr[key].values.tolist()))
+
+    want = run(len(pdf))  # everything in one batch, no cap hit
+    monkeypatch.setattr(X, "MAX_CARRY", 7)  # force prefix flushing
+    got = run(5)
+    assert got == want
+    # the long conversation's item triples all resolved (nothing dropped)
+    n_triples = sum(1 for r in want if r[0] == "triple" and r[1] == "conv-long")
+    assert n_triples == 3 + 2 * n_items + 2
