@@ -4,9 +4,16 @@ eager edge rewiring, DefinitionCache.java:56-74: every in/out edge moves
 from the placeholder to the definition).
 
 Two broadcast-or-shuffle joins (subj side, obj side). The alias map is
-small relative to the triple set (≈ #distinct entities), so Catalyst
-broadcasts it; at 10^12-turn scale with billions of entities AQE falls back
-to a shuffled hash join with skew splitting — no code change.
+small relative to the triple set (≈ #distinct entities) but NOT guaranteed
+small in absolute terms — at 10^12-turn scale it approaches the distinct-
+entity set (potentially billions of rows). The join strategy is therefore
+deliberately left to Catalyst + AQE (no ``F.broadcast`` hard hint, which
+Spark would honor regardless of size and OOM on): a parquet-backed alias
+map under ``autoBroadcastJoinThreshold`` plans a static broadcast join; a
+checkpointed or oversized one starts as a shuffled join and AQE converts
+it to broadcast at runtime when the actual build-side bytes are small, or
+keeps the shuffled hash join with skew splitting when they are not
+(plan-tested both ways in tests/test_plans.py).
 """
 
 from __future__ import annotations
@@ -36,7 +43,7 @@ def canonicalize_triples(triples: DataFrame, alias_map: DataFrame) -> DataFrame:
             F.col("pred").isin(*OBJ_IS_ENTITY), normalize_endpoint(F.col("obj"))
         ).otherwise(F.col("obj")),
     )
-    amap = F.broadcast(alias_map)
+    amap = alias_map
     t = (
         t.join(
             amap.withColumnRenamed("norm_key", "subj_norm").withColumnRenamed(

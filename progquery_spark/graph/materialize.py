@@ -126,8 +126,13 @@ def build_nodes(
     )
     # entity nodes live at the *canonical* key (placeholder rows that were
     # merged into a definition disappear here — the J5 rewiring analog)
+    # alias-map join strategy is Catalyst/AQE's choice (no hard broadcast
+    # hint): at 10^12 turns the alias map ≈ the distinct-entity set and a
+    # forced broadcast is a guaranteed OOM; at sane scales the threshold
+    # (session.py) broadcasts it anyway, and AQE converts shuffled joins
+    # back to broadcast at runtime when the build side is actually small.
     ent_nodes = (
-        entities.join(F.broadcast(alias_map), "norm_key", "left")
+        entities.join(alias_map, "norm_key", "left")
         .withColumn("ck", F.coalesce("canonical_key", "norm_key"))
         .groupBy("ck")
         .agg(
@@ -201,6 +206,31 @@ def alias_nodes(alias_map: DataFrame) -> DataFrame:
 _EDGE_COLS = ["src_id", "dst_id", "rel_type", "rel_graph", "ordinal", "props"]
 
 
+def mention_id_frame(mentions: DataFrame) -> DataFrame:
+    """Narrow per-mention frame with both endpoint ids precomputed:
+    (conv_id, turn_idx, span_start, mention_type, norm_key, is_decl,
+    turn_id, mention_id).
+
+    Every edge family that touches mentions (HAS_MENTION, REFERS_TO,
+    MAY_REFER_TO) consumes THIS projection instead of re-reading the full
+    mention snapshot — the pipeline localCheckpoints it once, so the wide
+    columns (surface, spans) are scanned exactly once per edges stage
+    instead of once per family (BENCH r2: stage_edges re-read the snapshot
+    in four subtrees)."""
+    return mentions.select(
+        "conv_id",
+        "turn_idx",
+        "span_start",
+        "mention_type",
+        "norm_key",
+        "is_decl",
+        node_id(F.lit("turn"), "conv_id", "turn_idx").alias("turn_id"),
+        node_id(
+            F.lit("mention"), "conv_id", "turn_idx", "span_start", "mention_type"
+        ).alias("mention_id"),
+    )
+
+
 def _edge(df: DataFrame, rel_type: str, rel_graph: str) -> DataFrame:
     out = df
     if "ordinal" not in df.columns:
@@ -222,28 +252,47 @@ def build_edges(
     mentions: DataFrame,
     canonical_triples: DataFrame,
     alias_map: DataFrame,
+    mention_ids: DataFrame | None = None,
 ) -> DataFrame:
-    """Structure + link + semantic edges (flow edges come from passes.py)."""
+    """Structure + link + semantic edges (flow edges come from passes.py).
+
+    ``mention_ids`` optionally supplies a precomputed (ideally
+    checkpointed) ``mention_id_frame`` shared with ``may_refer_edges`` so
+    the mention snapshot is scanned once per edges stage.
+
+    REFERS_TO edges carry a ``role`` prop (declares | references) from the
+    mention's declaredness — the PDG-analog use/def classification
+    (reference: every identifier access typed USED_BY / MODIFIED_BY /
+    STATE_MODIFIED_BY, PDGProcessing.java:299-321,361-376; our transcript
+    grammar has two access roles, declaration vs reference).
+    """
+    if mention_ids is None:
+        mention_ids = mention_id_frame(mentions)
     has_turn = transcripts.select(
         node_id(F.lit("conv"), "conv_id").alias("src_id"),
         node_id(F.lit("turn"), "conv_id", "turn_idx").alias("dst_id"),
         F.col("turn_idx").alias("ordinal"),
     )
-    has_mention = mentions.select(
-        node_id(F.lit("turn"), "conv_id", "turn_idx").alias("src_id"),
-        node_id(
-            F.lit("mention"), "conv_id", "turn_idx", "span_start", "mention_type"
-        ).alias("dst_id"),
+    has_mention = mention_ids.select(
+        F.col("turn_id").alias("src_id"),
+        F.col("mention_id").alias("dst_id"),
     )
+    # no broadcast hint on the alias map: see module docstring of
+    # canonicalize.remap — Catalyst's threshold / AQE runtime conversion
+    # picks broadcast when it actually fits, shuffled-hash when it doesn't
     refers_to = (
-        mentions.filter(F.col("mention_type") != "literal")
-        .join(F.broadcast(alias_map), "norm_key", "left")
+        mention_ids.filter(F.col("mention_type") != "literal")
+        .join(alias_map, "norm_key", "left")
         .withColumn("ck", F.coalesce("canonical_key", "norm_key"))
         .select(
-            node_id(
-                F.lit("mention"), "conv_id", "turn_idx", "span_start", "mention_type"
-            ).alias("src_id"),
+            F.col("mention_id").alias("src_id"),
             node_id(F.lit("entity"), "ck").alias("dst_id"),
+            F.create_map(
+                F.lit("role"),
+                F.when(F.col("is_decl"), F.lit("declares")).otherwise(
+                    F.lit("references")
+                ),
+            ).alias("props"),
         )
     )
     # semantic edges between canonical entities (literal objects -> LITERAL
@@ -312,6 +361,7 @@ def may_refer_edges(
     entities: DataFrame,
     alias_map: DataFrame,
     may_pairs: DataFrame,
+    mention_ids: DataFrame | None = None,
 ) -> DataFrame:
     """MAY_REFER_TO fan-out: mentions of an ambiguous key get an edge to
     each sub-threshold candidate's canonical entity.
@@ -328,8 +378,16 @@ def may_refer_edges(
       mentions fan out;
     - a candidate that resolves to the mention's own canonical entity is
       dropped (fan-out to the already-resolved target is no information).
+
+    ``targets``/``decl`` derive from the may-pair set and the entity
+    table; like the alias map they are left UNHINTED — the previous hard
+    ``F.broadcast(decl)`` shipped the entire entity table to every
+    executor, a guaranteed OOM at billion-entity scale. Catalyst/AQE
+    broadcast them when (and only when) they fit the threshold.
     """
-    amap = F.broadcast(alias_map)
+    if mention_ids is None:
+        mention_ids = mention_id_frame(mentions)
+    amap = alias_map
     targets = (
         may_pairs.select(
             F.col("key_a").alias("src_key"), F.col("key_b").alias("tgt_key")
@@ -351,10 +409,10 @@ def may_refer_edges(
     )
     decl = entities.select(F.col("norm_key").alias("src_key"), "is_declared")
     fan = (
-        mentions.filter(F.col("mention_type") != "literal")
+        mention_ids.filter(F.col("mention_type") != "literal")
         .withColumnRenamed("norm_key", "src_key")
-        .join(F.broadcast(targets), "src_key")
-        .join(F.broadcast(decl), "src_key")
+        .join(targets, "src_key")
+        .join(decl, "src_key")
         .filter(~F.col("is_declared"))
         .join(
             amap.withColumnRenamed("norm_key", "src_key").withColumnRenamed(
@@ -365,9 +423,7 @@ def may_refer_edges(
         )
         .filter(F.col("tgt") != F.coalesce("src_ck", "src_key"))
         .select(
-            node_id(
-                F.lit("mention"), "conv_id", "turn_idx", "span_start", "mention_type"
-            ).alias("src_id"),
+            F.col("mention_id").alias("src_id"),
             node_id(F.lit("entity"), "tgt").alias("dst_id"),
         )
         .dropDuplicates(["src_id", "dst_id"])

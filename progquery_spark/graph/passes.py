@@ -62,16 +62,17 @@ def flow_edges(transcripts: DataFrame) -> DataFrame:
         (ts - F.lag(ts).over(w)).alias("gap_tool"),
     )
 
-    def _mk(src_idx: str, dst_idx: str, gap_col: str, rel: str, flt) -> DataFrame:
+    def _mk(src_idx: str, dst_idx: str, gap_col: str, rel: str, flt, extra=None) -> DataFrame:
+        entries = [F.lit("gap_s"), F.col(gap_col).cast("string")]
+        if extra:
+            entries.extend(extra)
         return base.filter(flt).select(
             node_id(F.lit("turn"), "conv_id", src_idx).alias("src_id"),
             node_id(F.lit("turn"), "conv_id", dst_idx).alias("dst_id"),
             F.lit(rel).alias("rel_type"),
             F.lit("FLOW").alias("rel_graph"),
             F.lit(None).cast("int").alias("ordinal"),
-            F.create_map(
-                F.lit("gap_s"), F.col(gap_col).cast("string")
-            ).alias("props"),
+            F.create_map(*entries).alias("props"),
         )
 
     next_turn = _mk(
@@ -91,12 +92,16 @@ def flow_edges(transcripts: DataFrame) -> DataFrame:
         "REPLIES_TO",
         (F.col("role") != "user") & F.col("prev_user_idx").isNotNull(),
     )
+    # TOOL_RESULT_OF carries the tool name — the exception-provenance
+    # analog (reference: CFG_MAY_THROW edges carry exceptionType/methodName,
+    # ASTAuxiliarStorage.java:106-131)
     tool_res = _mk(
         "turn_idx",
         "prev_idx",
         "gap_tool",
         "TOOL_RESULT_OF",
         (F.col("role") == "tool") & F.col("prev_idx").isNotNull(),
+        extra=[F.lit("tool"), F.coalesce(F.col("tool"), F.lit(""))],
     )
     return next_turn.unionByName(next_same).unionByName(replies).unionByName(tool_res)
 
@@ -150,7 +155,9 @@ def salted_mention_counts(
         n_salt = autotune_salt_width(mentions)
     m = (
         mentions.filter(F.col("mention_type") != "literal")
-        .join(F.broadcast(alias_map), "norm_key", "left")
+        # alias-map join: no hard broadcast hint (see canonicalize.remap) —
+        # Catalyst/AQE broadcasts when it fits, shuffles when it doesn't
+        .join(alias_map, "norm_key", "left")
         .withColumn("ck", F.coalesce("canonical_key", "norm_key"))
         .withColumn("salt", F.pmod(F.xxhash64("conv_id", "turn_idx", "span_start"), F.lit(n_salt)))
     )
@@ -253,6 +260,13 @@ def must_reach_fixpoint(
     the bound is slack.
 
     Returns (src, dst, hops) with hops = min must-path length >= 1.
+
+    NOTE (session-scoped side effect): the loop disables
+    ``spark.sql.constraintPropagation.enabled`` for its duration (restored
+    in ``finally``) to work around a Catalyst constraint-rewrite failure
+    on iterative self-unions of checkpointed frames; a concurrent query on
+    the SAME session observes the flipped conf while the loop runs. Run
+    fixpoint passes serially per session (the pipeline does).
     """
     from ..canonicalize.remap import OBJ_IS_ENTITY
 

@@ -36,6 +36,14 @@ N_BITS = 32  # simhash planes
 JAC_PM = 500  # jaccard threshold (per-mille)
 HAM_MAX = 4  # simhash hamming threshold
 POSTING_CAP = 100  # grams in more docs than this generate no candidate pairs
+# LSH band buckets larger than this generate no candidate pairs — the
+# O(k^2) bound on the band-bucket self-join (same discipline as
+# linking.fuzzy.BUCKET_CAP): a degenerate band key (boilerplate-heavy
+# corpora — exactly the near-duplicate-rich inputs dedup exists for)
+# otherwise owns a quadratic blow-up no AQE skew split can bound.
+# Dropped buckets are observable via lsh_dropped_buckets(); the DuckDB
+# oracle replicates the cap so the gate certifies the shipped semantics.
+BUCKET_CAP = 200
 
 # simhash planes use the tail of the constant pool, decorrelated from the
 # minhash perms which use the head
@@ -173,10 +181,9 @@ def _perm_lits():
     )
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dg = _doc_gids(_docs(spark, sf_dir))
-    # signature: min (a*gid+b) % M per perm — explode perms against the
-    # gram index (map-side combinable aggregation, no arrays held per doc)
+def _lsh_buckets(dg: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key, bucket_n): per-doc band keys with bucket
+    sizes attached (one window over the banding shuffle)."""
     sig = (
         dg.select("doc_id", "gid", F.explode(_perm_lits()).alias("p"))
         .select(
@@ -198,6 +205,27 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("band_key")
         )
     )
+    w = Window.partitionBy("band", "band_key")
+    return buckets.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+
+
+def lsh_dropped_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability for the bucket cap: (band, band_key, bucket_n) of the
+    band buckets whose pairs were skipped (bucket_n > BUCKET_CAP)."""
+    b = _lsh_buckets(_doc_gids(_docs(spark, sf_dir)))
+    return (
+        b.filter(F.col("bucket_n") > BUCKET_CAP)
+        .select("band", "band_key", "bucket_n")
+        .distinct()
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dg = _doc_gids(_docs(spark, sf_dir))
+    # signature: min (a*gid+b) % M per perm — explode perms against the
+    # gram index (map-side combinable aggregation, no arrays held per doc);
+    # band buckets over BUCKET_CAP docs generate no pairs (quadratic bound)
+    buckets = _lsh_buckets(dg).filter(F.col("bucket_n") <= BUCKET_CAP)
     a = buckets.select("band", "band_key", F.col("doc_id").alias("doc_a"))
     b = buckets.select("band", "band_key", F.col("doc_id").alias("doc_b"))
     cand = (
@@ -374,19 +402,26 @@ def _jaccard_select(pairs_cte: str) -> str:
 
 
 def _minhash_ctes() -> str:
-    """perms -> signatures -> band keys -> candidate pairs (CTE chain
-    shared by the LSH oracle and the clusters oracle)."""
+    """perms -> signatures -> band keys -> capped buckets -> candidate
+    pairs (CTE chain shared by the LSH oracle and the clusters oracle).
+    The BUCKET_CAP filter mirrors _lsh_buckets exactly."""
     rows_per_band = N_PERM // N_BANDS
     return f"""
         perms(i, a, b) AS (VALUES {_perm_values(N_PERM, _A, _B)}),
         sig AS (
           SELECT doc_id, p.i, MIN((p.a * dg.gid + p.b) % {_M}) AS v
           FROM dg CROSS JOIN perms p GROUP BY doc_id, p.i),
-        buckets AS (
+        buckets0 AS (
           SELECT doc_id, i // {rows_per_band} AS band,
                  MAX(CASE WHEN i % 2 = 0 THEN v END) * {_M}
                    + MAX(CASE WHEN i % 2 = 1 THEN v END) AS band_key
           FROM sig GROUP BY doc_id, i // {rows_per_band}),
+        buckets AS (
+          SELECT doc_id, band, band_key FROM (
+            SELECT doc_id, band, band_key,
+                   COUNT(*) OVER (PARTITION BY band, band_key) AS bucket_n
+            FROM buckets0)
+          WHERE bucket_n <= {BUCKET_CAP}),
         pairs AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM buckets a JOIN buckets b

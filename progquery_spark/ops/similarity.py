@@ -15,12 +15,18 @@ Scale notes:
   query set x linear candidate scan). At 10^9 vectors the IVF variant is
   the path: a coarse quantizer assigns each vector to the nearest of K
   codebook centroids and search touches only same-bucket candidates.
-  The codebook here is a FIXED literal matrix derived from the frozen
-  constant pool — deterministic, broadcast as literals (exactly how a
-  trained codebook ships to executors), and integer-exact so the DuckDB
-  oracle replicates the assignment bit-for-bit. A production deployment
-  swaps the literal matrix for pyspark.ml KMeans cluster centers; every
-  other line stays identical.
+- the codebook is TRAINED on the data (VERDICT r2 #4): deterministic
+  spherical-KMeans — evenly-spaced seed vectors in vec_id order, then
+  _N_ITER unrolled Lloyd rounds of (argmax-dot assignment, floor-of-mean
+  centroid update), all exact int64 arithmetic so the DuckDB oracle
+  replays the SAME training as unrolled CTEs and lands on bit-identical
+  centroids. Training runs as Spark aggregations over the exploded
+  embedding table; only the K x DIM centroid matrix is collected per
+  round (the standard trained-model-to-driver step) and ships to
+  executors as literals — the reference analog is the definition cache
+  built from the program under analysis itself
+  (DefinitionCache.java:96-112). At 10^9 vectors you train on a
+  deterministic sample (vec_id mod S) — the loop is unchanged.
 - embedding near-dup is bucket-blocked through the same quantizer
   (candidate pairs share a centroid), not an all-pairs cartesian; recall
   is bounded by the blocking like any IVF search.
@@ -42,15 +48,16 @@ NEAR_DUP_COS = 45000  # near-dup threshold (0.45)
 TOP_K = 10
 N_QUERIES = 10  # vec_id < 10 serve as the query set
 
-# --- IVF coarse quantizer: fixed integer codebook ---------------------------
+# --- IVF coarse quantizer: trained integer codebook -------------------------
 N_CENTROIDS = 8
 DIM = 64
+_N_ITER = 2  # unrolled Lloyd rounds (deterministic, oracle-replicated)
 
 
-def _centroid_rows() -> list[list[int]]:
+def _fixed_centroid_rows() -> list[list[int]]:
     """K x DIM integer codebook in [-7, 7], derived deterministically from
-    the frozen LCG constant pool (no data, no RNG — both engines embed the
-    same literals)."""
+    the frozen LCG constant pool — the UNtrained baseline the recall test
+    compares the trained codebook against (and the pre-r3 shipped one)."""
     return [
         [
             ((_A[(7 * k + d) % 32] * (d + 3) + _B[(11 * k + 5 * d) % 32]) % 15) - 7
@@ -60,67 +67,8 @@ def _centroid_rows() -> list[list[int]]:
     ]
 
 
-_CENTS = _centroid_rows()
-
-
-def _bucket_expr(qcol):
-    """Spherical (cosine) coarse assignment: argmax of q . c_k over the
-    codebook, ties -> smallest centroid id. Norm-free on purpose — an L2
-    argmin against a fixed-scale codebook degenerates to the min-norm
-    centroid when data and codebook scales differ (observed: all vectors
-    in one bucket); the dot-product direction test cannot collapse. All
-    arithmetic is exact int64; the codebook travels as literals (exactly
-    how a trained spherical-KMeans codebook ships to executors)."""
-    cents = F.array(
-        *[
-            F.struct(
-                F.lit(k).alias("k"),
-                F.array(*[F.lit(v) for v in _CENTS[k]]).alias("c"),
-            )
-            for k in range(N_CENTROIDS)
-        ]
-    )
-
-    def _score(ct):
-        dot = F.aggregate(
-            F.zip_with(qcol, ct.c, lambda x, y: x * y.cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        return F.struct((-dot).alias("score"), ct.k.cast("int").alias("k"))
-
-    return F.array_min(F.transform(cents, _score)).getField("k")
-
-
-N_PROBE = 2
-
-
-def _probe_buckets_expr(qcol, n_probe: int = N_PROBE):
-    """Top-n_probe nearest buckets (multiprobe IVF): same spherical score,
-    best n centroid ids in score order."""
-    cents = F.array(
-        *[
-            F.struct(
-                F.lit(k).alias("k"),
-                F.array(*[F.lit(v) for v in _CENTS[k]]).alias("c"),
-            )
-            for k in range(N_CENTROIDS)
-        ]
-    )
-
-    def _score(ct):
-        dot = F.aggregate(
-            F.zip_with(qcol, ct.c, lambda x, y: x * y.cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        return F.struct((-dot).alias("score"), ct.k.cast("int").alias("k"))
-
-    ranked = F.array_sort(F.transform(cents, _score))
-    return F.transform(F.slice(ranked, 1, n_probe), lambda s: s.getField("k"))
-
-
-def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, q, n2): integer-quantized embeddings."""
     register_sf_views(spark, sf_dir)
     q = F.transform(
         "embedding", lambda x: F.round(x.cast("double") * Q_SCALE).cast("long")
@@ -130,7 +78,168 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spark.table("embeddings").select(
         "vec_id", "label", q.alias("q"), n2.alias("n2")
-    ).withColumn("bucket", _bucket_expr(F.col("q")))
+    )
+
+
+def _exploded(v: DataFrame) -> DataFrame:
+    """(vec_id, pos, qe): one row per vector component, pos 1-based (the
+    oracle's generate_subscripts convention)."""
+    return v.select(
+        "vec_id", F.posexplode("q").alias("pos0", "qe")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "qe")
+
+
+def _cents_frame(spark: SparkSession, cents: list[list[int]]) -> DataFrame:
+    rows = [
+        (k, d + 1, int(val))
+        for k, row in enumerate(cents)
+        for d, val in enumerate(row)
+    ]
+    return spark.createDataFrame(rows, "k int, pos int, val long")
+
+
+def _assign_frame(ex: DataFrame, cents_df: DataFrame) -> DataFrame:
+    """(vec_id, k): spherical argmax assignment against a centroid frame;
+    ties -> smallest k (exact int dots, identical in DuckDB)."""
+    dots = (
+        ex.join(F.broadcast(cents_df), "pos")
+        .groupBy("vec_id", "k")
+        .agg(F.sum(F.col("qe") * F.col("val")).alias("dot"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("k").asc())
+    return (
+        dots.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "k")
+    )
+
+
+# trained codebook cached per (applicationId, sf_dir) — training is a
+# deterministic function of the embedding table, so every query of a
+# session shares one codebook (and one training run)
+_CB_CACHE: dict[tuple[str, str], list[list[int]]] = {}
+
+
+def train_codebook(spark: SparkSession, sf_dir: str) -> list[list[int]]:
+    """Deterministic spherical-KMeans training, fully oracle-replicable:
+
+    - seeds: per residue class k, the vector with MIN vec_id among
+      vec_id % K == k (data-dependent, RNG-free, and crucially computable
+      with ONE narrow aggregation — no global-rank window, which would
+      funnel every vec_id through a single partition at 10^9 vectors);
+    - _N_ITER Lloyd rounds: assign every vector to its argmax-dot centroid
+      (ties -> smallest k), then centroid[d] = floor(mean(q[d])) over its
+      members (exact int sums; the one double division is IEEE-identical
+      in DuckDB); an empty cluster keeps its previous centroid.
+
+    Each round runs as Spark aggregations; only the K x DIM matrix is
+    collected (the trained-model-to-driver step every IVF deployment has).
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _CB_CACHE.get(key)
+    if got is not None:
+        return got
+    v = _quantized(spark, sf_dir)
+    ex = _exploded(v).localCheckpoint(eager=True)
+    seeds = (
+        v.select("vec_id")
+        .groupBy(F.pmod("vec_id", F.lit(N_CENTROIDS)).cast("int").alias("k"))
+        .agg(F.min("vec_id").alias("vec_id"))
+        .join(ex, "vec_id")
+        .select("k", "pos", F.col("qe").alias("val"))
+    )
+    # an empty residue class leaves its centroid at the zero vector —
+    # deterministic in both engines (score 0, ties -> smallest k)
+    cents = [
+        [0] * DIM for _ in range(N_CENTROIDS)
+    ]
+    for r in seeds.collect():
+        cents[r["k"]][r["pos"] - 1] = int(r["val"])
+    for _ in range(_N_ITER):
+        cents_df = _cents_frame(spark, cents)
+        asg = _assign_frame(ex, cents_df)
+        upd = (
+            asg.join(ex, "vec_id")
+            .groupBy("k", "pos")
+            .agg(
+                F.floor(
+                    F.sum("qe").cast("double") / F.count(F.lit(1))
+                ).cast("long").alias("val")
+            )
+        )
+        nxt = [row[:] for row in cents]  # empty cluster keeps its centroid
+        for r in upd.collect():
+            nxt[r["k"]][r["pos"] - 1] = int(r["val"])
+        cents = nxt
+    _CB_CACHE[key] = cents
+    return cents
+
+
+def _bucket_expr(qcol, cents: list[list[int]]):
+    """Spherical (cosine) coarse assignment: argmax of q . c_k over the
+    codebook, ties -> smallest centroid id. Norm-free on purpose — an L2
+    argmin against a fixed-scale codebook degenerates to the min-norm
+    centroid when data and codebook scales differ (observed: all vectors
+    in one bucket); the dot-product direction test cannot collapse. All
+    arithmetic is exact int64; the codebook travels as literals (exactly
+    how a trained spherical-KMeans codebook ships to executors)."""
+    carr = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.array(*[F.lit(v) for v in cents[k]]).alias("c"),
+            )
+            for k in range(N_CENTROIDS)
+        ]
+    )
+
+    def _score(ct):
+        dot = F.aggregate(
+            F.zip_with(qcol, ct.c, lambda x, y: x * y.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        return F.struct((-dot).alias("score"), ct.k.cast("int").alias("k"))
+
+    return F.array_min(F.transform(carr, _score)).getField("k")
+
+
+N_PROBE = 2
+
+
+def _probe_buckets_expr(qcol, cents: list[list[int]], n_probe: int = N_PROBE):
+    """Top-n_probe nearest buckets (multiprobe IVF): same spherical score,
+    best n centroid ids in score order."""
+    carr = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.array(*[F.lit(v) for v in cents[k]]).alias("c"),
+            )
+            for k in range(N_CENTROIDS)
+        ]
+    )
+
+    def _score(ct):
+        dot = F.aggregate(
+            F.zip_with(qcol, ct.c, lambda x, y: x * y.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        return F.struct((-dot).alias("score"), ct.k.cast("int").alias("k"))
+
+    ranked = F.array_sort(F.transform(carr, _score))
+    return F.transform(F.slice(ranked, 1, n_probe), lambda s: s.getField("k"))
+
+
+def _vecs(
+    spark: SparkSession, sf_dir: str, cents: list[list[int]] | None = None
+) -> DataFrame:
+    if cents is None:
+        cents = train_codebook(spark, sf_dir)
+    return _quantized(spark, sf_dir).withColumn(
+        "bucket", _bucket_expr(F.col("q"), cents)
+    )
 
 
 def _cos_pm(dot_col, n2a_col, n2b_col):
@@ -184,8 +293,10 @@ def _topk(pairs: DataFrame) -> DataFrame:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k for the query set (vec_id < N_QUERIES)."""
-    v = _vecs(spark, sf_dir)
+    """Brute-force cosine top-k for the query set (vec_id < N_QUERIES).
+    Exact linear scan — needs no quantizer, so it deliberately skips the
+    codebook training the IVF variants share."""
+    v = _quantized(spark, sf_dir)
     qs = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("q_a"), F.col("n2").alias("n2_a")
     )
@@ -198,10 +309,13 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(pairs)
 
 
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_ivf(
+    spark: SparkSession, sf_dir: str, cents: list[list[int]] | None = None
+) -> DataFrame:
     """IVF top-k: search only the query's coarse-quantizer bucket
-    (nearest-centroid assignment against the literal codebook)."""
-    v = _vecs(spark, sf_dir)
+    (nearest-centroid assignment against the trained literal codebook;
+    ``cents`` overrides for recall comparisons against other codebooks)."""
+    v = _vecs(spark, sf_dir, cents)
     qs = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         "bucket",
@@ -225,12 +339,13 @@ def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets — the standard recall lever when the true neighbor falls just
     across a Voronoi boundary. A candidate lives in exactly one bucket,
     so probing n buckets cannot duplicate (query, neighbor) pairs."""
-    v = _vecs(spark, sf_dir)
+    cents = train_codebook(spark, sf_dir)
+    v = _vecs(spark, sf_dir, cents)
     qs = (
         v.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
-            F.explode(_probe_buckets_expr(F.col("q"))).alias("bucket"),
+            F.explode(_probe_buckets_expr(F.col("q"), cents)).alias("bucket"),
             F.col("q").alias("q_a"),
             F.col("n2").alias("n2_a"),
         )
@@ -256,21 +371,59 @@ def queries():
     }
 
 
-def _cent_values() -> str:
-    return ", ".join(
-        f"({k}, {d + 1}, {v})"
-        for k, row in enumerate(_CENTS)
-        for d, v in enumerate(row)
-    )
+def _train_ctes() -> str:
+    """Unrolled deterministic-KMeans training, mirroring train_codebook
+    round for round: evenly-spaced seeds in vec_id order, then _N_ITER
+    rounds of (argmax-dot assign, floor-of-mean update, empty cluster
+    keeps its centroid). Exposes ``cent(k, pos, val)``."""
+    kk = ", ".join(f"({k})" for k in range(N_CENTROIDS))
+    parts = [
+        f"""
+kk(k) AS (VALUES {kk}),
+dims AS (SELECT CAST(unnest(range(1, {DIM + 1})) AS INT) AS pos),
+seedids AS (
+  SELECT CAST(vec_id % {N_CENTROIDS} AS INT) AS k, MIN(vec_id) AS vec_id
+  FROM qv GROUP BY vec_id % {N_CENTROIDS}),
+seedvals AS (
+  SELECT s.k, e.pos, e.qe AS val
+  FROM seedids s JOIN ex e ON e.vec_id = s.vec_id),
+cent0 AS (
+  SELECT kk.k, d.pos, COALESCE(v.val, CAST(0 AS BIGINT)) AS val
+  FROM kk CROSS JOIN dims d
+  LEFT JOIN seedvals v ON v.k = kk.k AND v.pos = d.pos)"""
+    ]
+    for t in range(1, _N_ITER + 1):
+        p = t - 1
+        parts.append(
+            f"""
+dot{t} AS (
+  SELECT e.vec_id, c.k, SUM(e.qe * c.val) AS dot
+  FROM ex e JOIN cent{p} c ON c.pos = e.pos GROUP BY e.vec_id, c.k),
+asg{t} AS (
+  SELECT vec_id, k FROM (
+    SELECT vec_id, k,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY -dot, k) AS rn
+    FROM dot{t}) WHERE rn = 1),
+upd{t} AS (
+  SELECT a.k, e.pos,
+         CAST(floor(CAST(SUM(e.qe) AS DOUBLE) / COUNT(*)) AS BIGINT) AS val
+  FROM asg{t} a JOIN ex e ON e.vec_id = a.vec_id GROUP BY a.k, e.pos),
+cent{t} AS (
+  SELECT c.k, c.pos, COALESCE(u.val, c.val) AS val
+  FROM cent{p} c LEFT JOIN upd{t} u ON u.k = c.k AND u.pos = c.pos)"""
+        )
+    parts.append(f"\ncent AS (SELECT k, pos, val FROM cent{_N_ITER})")
+    return ",".join(parts)
 
 
-_QVEC_CTE = f"""
+def _qvec_ctes() -> str:
+    return f"""
 qv AS (SELECT vec_id, label,
               list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {Q_SCALE}) AS BIGINT)) AS q
        FROM embeddings),
 ex AS (SELECT vec_id, label, unnest(q) AS qe, generate_subscripts(q, 1) AS pos FROM qv),
 nrm AS (SELECT vec_id, SUM(qe * qe) AS n2 FROM ex GROUP BY vec_id),
-cent(k, pos, val) AS (VALUES {_cent_values()}),
+{_train_ctes()},
 cdot AS (SELECT e.vec_id, c.k, SUM(e.qe * c.val) AS dot
          FROM ex e JOIN cent c ON c.pos = e.pos GROUP BY e.vec_id, c.k),
 assign AS (
@@ -289,7 +442,7 @@ def _cos_sql(dot, n2a, n2b):
 def oracles():
     return {
         "dedup_embedding": f"""
-        WITH {_QVEC_CTE},
+        WITH {_qvec_ctes()},
         dots AS (
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.qe * b.qe) AS dot
           FROM ex a JOIN ex b ON a.pos = b.pos AND a.vec_id < b.vec_id
@@ -301,7 +454,7 @@ def oracles():
         WHERE {_cos_sql('dot', 'na.n2', 'nb.n2')} >= {NEAR_DUP_COS}
         """,
         "ann_topk": f"""
-        WITH {_QVEC_CTE},
+        WITH {_qvec_ctes()},
         dots AS (
           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.qe * b.qe) AS dot
           FROM ex a JOIN ex b ON a.pos = b.pos AND a.vec_id <> b.vec_id
@@ -320,7 +473,7 @@ def oracles():
         SELECT query_id, neighbor_id, rnk, cos_pm FROM ranked WHERE rnk <= {TOP_K}
         """,
         "ann_ivf_multiprobe": f"""
-        WITH {_QVEC_CTE},
+        WITH {_qvec_ctes()},
         probe AS (
           SELECT vec_id, CAST(k AS INT) AS bucket FROM (
             SELECT vec_id, k,
@@ -347,7 +500,7 @@ def oracles():
         SELECT query_id, neighbor_id, rnk, cos_pm FROM ranked WHERE rnk <= {TOP_K}
         """,
         "ann_ivf": f"""
-        WITH {_QVEC_CTE},
+        WITH {_qvec_ctes()},
         dots AS (
           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.qe * b.qe) AS dot
           FROM ex a JOIN ex b ON a.pos = b.pos AND a.vec_id <> b.vec_id

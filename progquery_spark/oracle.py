@@ -483,6 +483,42 @@ def node_props_sql() -> str:
     )
 
 
+def node_categories_sql() -> str:
+    """Hypernym-category audit: per-(node_type, category) counts = the
+    node-type counts fanned out across the literal category map
+    (schemas.NODE_CATEGORIES — the closed vocabulary both engines embed),
+    exactly the semantics of exploding each node's ``categories`` array."""
+    from .schemas import NODE_CATEGORIES
+
+    cat_values = ", ".join(
+        f"('{t}', '{c}')" for t, cs in NODE_CATEGORIES.items() for c in cs
+    )
+    counts = """
+    ncounts AS (
+      SELECT 'CONVERSATION' AS node_type, COUNT(*) AS n FROM (SELECT DISTINCT conv_id FROM mentions)
+      UNION ALL
+      SELECT 'TURN', COUNT(*) FROM (SELECT DISTINCT conv_id, turn_idx FROM mentions)
+      UNION ALL
+      SELECT 'MENTION', COUNT(*) FROM mentions
+      UNION ALL
+      SELECT upper(mention_type), COUNT(DISTINCT norm_key) FROM mentions
+      WHERE mention_type <> 'literal' GROUP BY upper(mention_type)
+      UNION ALL
+      SELECT 'LITERAL', COUNT(DISTINCT norm_key) FROM mentions WHERE mention_type = 'literal')
+    """
+    cats = f"cats(node_type, category) AS (VALUES {cat_values})"
+    return _with(
+        _BASE_CTES,
+        _MENTIONS_CTE,
+        counts,
+        cats,
+        select="""
+        SELECT nc.node_type, c.category, nc.n
+        FROM ncounts nc JOIN cats c ON c.node_type = nc.node_type
+        """,
+    )
+
+
 def edge_counts_sql() -> str:
     # semantic edge counts = distinct (subj, obj, ordinal) per pred;
     # structure/link counts from mention cardinalities; flow counts via
@@ -533,7 +569,9 @@ def edge_props_sql() -> str:
     """FLOW gap_s sums from ts_epoch windows; SEMANTIC provenance = the
     (conv_id, turn_idx)-lexicographic first asserting turn per deduped
     edge (turn order == ts order in this corpus, so MAX over the
-    preceding-user window matches Spark's last-preceding-user)."""
+    preceding-user window matches Spark's last-preceding-user);
+    LINK/REFERS_TO role = the mention's declaredness (sum_v = number of
+    'declares' mentions — the G2 use/def classification analog)."""
     tcte = duckdb_transcripts_cte().replace("WITH ", "")
     sem = """
     sem_prov AS (
@@ -545,10 +583,16 @@ def edge_props_sql() -> str:
     return _with(
         tcte,
         _BASE_CTES,
+        _MENTIONS_CTE,
         _TRIPLES_CTE,
         _TRIPLES_CANON_CTE,
         sem,
         select="""
+        SELECT 'LINK' AS rel_graph, 'REFERS_TO' AS rel_type,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN is_decl THEN 1 ELSE 0 END) AS BIGINT) AS sum_v
+        FROM mentions WHERE mention_type <> 'literal'
+        UNION ALL
         SELECT 'FLOW' AS rel_graph, 'NEXT_TURN' AS rel_type,
                COUNT(*) AS n, CAST(SUM(g) AS BIGINT) AS sum_v FROM
           (SELECT LEAD(turn_idx) OVER w AS nx,

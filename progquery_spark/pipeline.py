@@ -41,6 +41,7 @@ from .graph.materialize import (
     build_edges,
     build_nodes,
     may_refer_edges,
+    mention_id_frame,
 )
 from .graph.passes import consensus_modality, flow_edges, salted_mention_counts
 from .io.sinks import Manifest, read_stage, write_stage
@@ -218,15 +219,24 @@ class Pipeline:
             return out
 
         def _edges() -> DataFrame:
+            # one narrow scan of the mention snapshot shared by every
+            # mention-touching edge family (HAS_MENTION, REFERS_TO,
+            # MAY_REFER_TO) — r2 bench showed stage_edges re-reading the
+            # snapshot in four subtrees
+            mids = mention_id_frame(mentions).localCheckpoint(eager=True)
             e = (
-                build_edges(tr, mentions, tcanon, amap)
+                build_edges(tr, mentions, tcanon, amap, mention_ids=mids)
                 .unionByName(flow_edges(tr))
                 .unionByName(alias_of_edges(amap))
             )
             if scored is not None:
                 e = e.unionByName(
                     may_refer_edges(
-                        mentions, entities, amap, may_pairs_from_scored(scored)
+                        mentions,
+                        entities,
+                        amap,
+                        may_pairs_from_scored(scored),
+                        mention_ids=mids,
                     )
                 )
             return e

