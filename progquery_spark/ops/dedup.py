@@ -220,6 +220,23 @@ def lsh_dropped_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-bucket distribution audit: (n_buckets, n_dropped, max_bucket)
+    — one row certifying that both engines agree on the full banding
+    distribution AND on which buckets the BUCKET_CAP drops (the skew
+    guard is part of the certified semantics, not a Spark-side detail)."""
+    b = (
+        _lsh_buckets(_doc_gids(_docs(spark, sf_dir)))
+        .select("band", "band_key", "bucket_n")
+        .distinct()
+    )
+    return b.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum((F.col("bucket_n") > BUCKET_CAP).cast("long")).alias("n_dropped"),
+        F.max("bucket_n").alias("max_bucket"),
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dg = _doc_gids(_docs(spark, sf_dir))
     # signature: min (a*gid+b) % M per perm — explode perms against the
@@ -345,6 +362,7 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries():
     return {
+        "dedup_lsh_bucket_stats": q_dedup_lsh_bucket_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -432,6 +450,25 @@ def _minhash_ctes() -> str:
 
 def oracles():
     return {
+        "dedup_lsh_bucket_stats": f"""
+        WITH {_GRAM_CTES},
+        perms(i, a, b) AS (VALUES {_perm_values(N_PERM, _A, _B)}),
+        sig AS (
+          SELECT doc_id, p.i, MIN((p.a * dg.gid + p.b) % {_M}) AS v
+          FROM dg CROSS JOIN perms p GROUP BY doc_id, p.i),
+        buckets0 AS (
+          SELECT doc_id, i // {N_PERM // N_BANDS} AS band,
+                 MAX(CASE WHEN i % 2 = 0 THEN v END) * {_M}
+                   + MAX(CASE WHEN i % 2 = 1 THEN v END) AS band_key
+          FROM sig GROUP BY doc_id, i // {N_PERM // N_BANDS}),
+        bstats AS (
+          SELECT band, band_key, COUNT(*) AS bucket_n
+          FROM buckets0 GROUP BY band, band_key)
+        SELECT COUNT(*) AS n_buckets,
+               CAST(SUM(CASE WHEN bucket_n > {BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               MAX(bucket_n) AS max_bucket
+        FROM bstats
+        """,
         "dedup_exact": """
         WITH dupful AS (
           SELECT doc_id, text FROM documents

@@ -695,6 +695,24 @@ def mention_counts_sql() -> str:
     )
 
 
+def tool_provenance_sql() -> str:
+    """TOOL_RESULT_OF per-tool audit — mirrors flow_edges' tool prop
+    (COALESCE to '' for null tool names) and gap_s seconds."""
+    return (
+        duckdb_transcripts_cte()
+        + """
+        SELECT COALESCE(tool, '') AS tool, COUNT(*) AS n,
+               CAST(SUM(g) AS BIGINT) AS sum_gap_s FROM
+          (SELECT role, tool,
+                  LAG(turn_idx) OVER w AS pv,
+                  ts_epoch - LAG(ts_epoch) OVER w AS g
+           FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+        WHERE role = 'tool' AND pv IS NOT NULL
+        GROUP BY COALESCE(tool, '')
+        """
+    )
+
+
 def next_turn_sql() -> str:
     return (
         duckdb_transcripts_cte()

@@ -304,6 +304,20 @@ def q_edge_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tool_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOOL_RESULT_OF provenance audit: per tool name (carried as an edge
+    prop — the exception-provenance analog, CFG_MAY_THROW edges carry
+    exceptionType/methodName, ASTAuxiliarStorage.java:106-131), the edge
+    count and total gap seconds. Certifies the prop VALUES, not just
+    their presence."""
+    tr = _transcripts(spark, sf_dir)
+    e = flow_edges(tr).filter(F.col("rel_type") == "TOOL_RESULT_OF")
+    return e.groupBy(F.col("props")["tool"].alias("tool")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("props")["gap_s"].cast("long")).alias("sum_gap_s"),
+    )
+
+
 def q_node_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypernym-category audit (§1.1): explode every node's ``categories``
     array and count per (node_type, category) — value-certifies the
@@ -378,6 +392,7 @@ def kg_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edge_counts": q_edge_counts,
         "kg_edge_props": q_edge_props,
         "kg_next_turn": q_next_turn,
+        "kg_tool_provenance": q_tool_provenance,
         "kg_modality": q_modality,
         "kg_must_reach": q_must_reach,
         "kg_reachability": q_reachability,
@@ -404,6 +419,7 @@ def kg_oracles() -> dict[str, str]:
         "kg_edge_counts": O.edge_counts_sql(),
         "kg_edge_props": O.edge_props_sql(),
         "kg_next_turn": O.next_turn_sql(),
+        "kg_tool_provenance": O.tool_provenance_sql(),
         "kg_modality": O.modality_sql(),
         "kg_must_reach": O.must_reach_sql(),
         "kg_reachability": O.reachability_sql(),

@@ -71,6 +71,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="parquet path of a new/re-compiled conversation batch to merge "
         "into an EXISTING warehouse (C4 incremental path)",
     )
+    ap.add_argument(
+        "--stream",
+        metavar="TURNS_DIR",
+        help="S3 'listen' mode: drain a directory of arriving turn parquet "
+        "files through the stateful streaming extractor into "
+        "<warehouse>/extraction_stream (checkpointed — re-drains are "
+        "exactly-once per input file)",
+    )
+    ap.add_argument(
+        "--stream-idle-timeout-ms",
+        type=int,
+        default=60_000,
+        help="flush latency for conversations that never see a final turn",
+    )
     ap.add_argument("--master", help="spark master (default local[$SPARK_GRAFT_CPUS])")
     ap.add_argument("--shuffle-partitions", type=int)
     return ap
@@ -88,6 +102,37 @@ def main(argv: list[str] | None = None) -> int:
         shuffle_partitions=args.shuffle_partitions,
     )
     t0 = time.time()
+    if args.stream:
+        # the reference's listen mode: extraction fires as units complete
+        # (GetStructuresAfterAnalyze.java:60-108); here a bounded drain of
+        # whatever turn files have arrived, appended to the warehouse
+        import os
+
+        from .streaming.kg_stream import run_streaming_extract_available_now
+
+        run_streaming_extract_available_now(
+            spark,
+            args.stream,
+            os.path.join(args.warehouse, "_stream_checkpoint"),
+            "_stream_extract",
+            idle_timeout_ms=args.stream_idle_timeout_ms,
+        )
+        out_path = os.path.join(args.warehouse, "extraction_stream")
+        drained = spark.table("_stream_extract")
+        n = drained.count()
+        drained.write.mode("append").parquet(out_path)
+        print(
+            json.dumps(
+                {
+                    "mode": "stream",
+                    "rows_drained": n,
+                    "out": out_path,
+                    "wall_sec": round(time.time() - t0, 2),
+                }
+            )
+        )
+        spark.stop()
+        return 0
     pipe = Pipeline(spark, args.warehouse, lineage=args.lineage)
     if args.merge:
         batch = spark.read.parquet(args.merge)

@@ -253,6 +253,8 @@ def run_streaming_extract_available_now(
     )
     deadline = time.time() + timeout_s
     while time.time() < deadline and q.isActive:
+        if q.exception() is not None:
+            break  # failed queries can still report ACTIVE — fail fast
         lp = q.lastProgress
         if (
             lp is not None
@@ -261,5 +263,10 @@ def run_streaming_extract_available_now(
         ):
             break  # data batches done and every buffered conversation flushed
         time.sleep(0.5)
+    exc = q.exception()
     q.stop()
+    if exc is not None:
+        # a failed query stays "active" from the poll's perspective but
+        # drains nothing — surface the failure instead of an empty table
+        raise exc
     return q

@@ -48,6 +48,38 @@ def test_cli_until_and_resume(tmp_path):
     assert second["stages"]["extraction"] == first["stages"]["extraction"]
 
 
+def test_cli_stream_mode(tmp_path):
+    """S3 'listen' mode: --stream drains arriving turn files through the
+    stateful streaming extractor into the warehouse."""
+    import os
+    import sys as _sys
+
+    import pandas as pd
+
+    _sys.path.insert(0, "/root/repo")
+    from progquery_spark.fixtures import make_fixture
+
+    pdf = pd.DataFrame(make_fixture(n_convs=3).rows)
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    # Spark's parquet reader rejects pandas' default ns timestamps
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    d = tmp_path / "turns"
+    d.mkdir()
+    pdf.to_parquet(d / "part0.parquet", index=False)
+
+    wh = str(tmp_path / "wh")
+    out = _run(
+        [
+            "--stream", str(d),
+            "--warehouse", wh,
+            "--stream-idle-timeout-ms", "3000",
+            "--shuffle-partitions", "4",
+        ]
+    )
+    assert out["mode"] == "stream" and out["rows_drained"] > 0
+    assert os.path.isdir(out["out"])
+
+
 def test_cli_requires_input(tmp_path):
     out = subprocess.run(
         [
