@@ -80,6 +80,52 @@ def test_cli_stream_mode(tmp_path):
     assert os.path.isdir(out["out"])
 
 
+def test_spark_submit_pyfiles(tmp_path):
+    """The north rule's literal invocation: ``spark-submit --py-files
+    progquery_spark.zip`` with no repo checkout on the driver's path — the
+    package must resolve from the shipped archive (cwd is a scratch dir and
+    PYTHONPATH is stripped)."""
+    import os
+    import shutil
+
+    sys.path.insert(0, "/root/repo/tools")
+    from build_zip import build
+
+    zip_path = build(str(tmp_path / "progquery_spark.zip"))
+    main_py = str(tmp_path / "submit_main.py")
+    shutil.copy("/root/repo/tools/submit_main.py", main_py)
+
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    wh = str(tmp_path / "wh")
+    out = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[4]",
+            "--py-files", zip_path,
+            main_py,
+            "--input", "/root/testdata/sf0.001",
+            "--warehouse", wh,
+            "--until", "surface_stats",
+            "--no-lineage",
+            "--master", "local[4]",
+            "--shuffle-partitions", "8",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=str(tmp_path),
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    res = json.loads(line)
+    assert set(res["stages"]) == {"transcripts", "extraction", "surface_stats"}
+    assert res["stages"]["extraction"] > 0
+
+
 def test_cli_requires_input(tmp_path):
     out = subprocess.run(
         [

@@ -155,7 +155,17 @@ def main() -> None:
     )
     any_turns = best[levels[0]]["turns"]
     os.makedirs("/root/repo/BENCH", exist_ok=True)
-    with open("/root/repo/BENCH/BASELINE.md", "w") as f:
+    # hand-written measured addenda (bucketed-path runs, e2e composition)
+    # live below the generated block — preserve them across regeneration
+    addendum = ""
+    baseline_path = "/root/repo/BENCH/BASELINE.md"
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            old = f.read()
+        idx = old.find("## Zero-shuffle extraction")
+        if idx >= 0:
+            addendum = "\n" + old[idx:]
+    with open(baseline_path, "w") as f:
         f.write(
             f"""# BENCH/BASELINE — measured throughput + scaling (this pipeline)
 
@@ -210,6 +220,7 @@ Reference comparison (BASELINE.md): the reference runs 1 JVM, 1 thread,
 whole-graph-in-RAM; it has no benchmark numbers in-repo. Single-node
 throughput above is the measured stand-in.
 """
+            + addendum
         )
 
 
