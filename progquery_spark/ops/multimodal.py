@@ -83,6 +83,148 @@ def fake_features(batch: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+# --- frame sampling + resize analogs -------------------------------------
+#
+# The driver brief's multimodal list is decode / feature-extract / resize /
+# frame-sample. Decode is the stub above; these two make the remaining pair
+# real Spark plumbing with deterministic math (no media libs needed):
+#
+# * frame_sample: payload split into fixed FRAME_BYTES blocks ("frames");
+#   every FRAME_STRIDE-th frame is sampled (the video frame-sampling access
+#   pattern) and checksummed. Row-EXPLODING mapInPandas: output rows >>
+#   input rows, so output frames are sliced to <=_OUT_CHUNK rows (big Arrow
+#   batches in both directions deadlock the Python runner's flow control).
+# * byte_resample: every RESAMPLE_STRIDE-th byte (1-D nearest-neighbor
+#   downsample — the resize access pattern), reduced to a position-weighted
+#   checksum per doc.
+#
+# Checksums are position-weighted byte sums mod 2^31-1: exact int64 in
+# numpy, exactly replicable in DuckDB (ascii/substr over the verified-ASCII
+# corpus), and sensitive to byte order — unlike the plain byte_sum above.
+
+FRAME_BYTES = 64
+FRAME_STRIDE = 4
+RESAMPLE_STRIDE = 7
+_OUT_CHUNK = 4096
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_len", IntegerType(), False),
+        StructField("frame_wsum_pm", LongType(), False),
+    ]
+)
+
+RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("out_len", IntegerType(), False),
+        StructField("res_wsum_pm", LongType(), False),
+    ]
+)
+
+
+def _segments(payloads: "pd.Series"):
+    """Concatenate a batch's payloads into one uint8 view + int64 offsets.
+
+    int64 weighted prefix sums bound the batch at ~100 MB of payload before
+    overflow; Arrow's maxRecordsPerBatch (10k rows) keeps real batches far
+    below that."""
+    n = len(payloads)
+    lens = np.fromiter((len(b) for b in payloads), dtype=np.int64, count=n)
+    buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    ends = np.cumsum(lens)
+    return lens, buf, ends - lens, ends
+
+
+def sample_frames(batch: pd.DataFrame) -> pd.DataFrame:
+    """One output row per sampled frame; weight of byte j (0-based in the
+    frame) is j+1, summed mod 2^31-1."""
+    lens, buf, starts, ends = _segments(batch["payload"])
+    n_frames = -(-lens // FRAME_BYTES)  # ceil; 0 for empty payloads
+    n_samp = -(-n_frames // FRAME_STRIDE)
+    total = int(n_samp.sum())
+    doc_ids = batch["doc_id"].to_numpy()
+    if total == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": np.empty(0, dtype=np.int64),
+                "frame_idx": np.empty(0, dtype=np.int32),
+                "frame_len": np.empty(0, dtype=np.int32),
+                "frame_wsum_pm": np.empty(0, dtype=np.int64),
+            }
+        )
+    rep = np.repeat(np.arange(len(lens)), n_samp)
+    cum = np.concatenate([[0], np.cumsum(n_samp)])
+    k = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], n_samp)
+    frame_idx = k * FRAME_STRIDE
+    fstart = starts[rep] + frame_idx * FRAME_BYTES
+    fend = np.minimum(fstart + FRAME_BYTES, ends[rep])
+    s_pre = np.concatenate([[0], np.cumsum(buf, dtype=np.int64)])
+    w_pre = np.concatenate(
+        [[0], np.cumsum(buf * np.arange(len(buf), dtype=np.int64), dtype=np.int64)]
+    )
+    # sum b*(pos - fstart + 1) over [fstart, fend)
+    wsum = (w_pre[fend] - w_pre[fstart]) - (fstart - 1) * (s_pre[fend] - s_pre[fstart])
+    return pd.DataFrame(
+        {
+            "doc_id": doc_ids[rep],
+            "frame_idx": frame_idx.astype(np.int32),
+            "frame_len": (fend - fstart).astype(np.int32),
+            "frame_wsum_pm": wsum % _M,
+        }
+    )
+
+
+def resample_bytes(batch: pd.DataFrame) -> pd.DataFrame:
+    """Stride-RESAMPLE_STRIDE downsample; weight of the k-th sampled byte
+    (0-based) is k+1, summed mod 2^31-1. Empty payloads yield checksum 0."""
+    lens, buf, starts, _ = _segments(batch["payload"])
+    out_len = -(-lens // RESAMPLE_STRIDE)
+    total = int(out_len.sum())
+    rep = np.repeat(np.arange(len(lens)), out_len)
+    cum = np.concatenate([[0], np.cumsum(out_len)])
+    k = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], out_len)
+    vals = buf[starts[rep] + k * RESAMPLE_STRIDE].astype(np.int64)
+    w = (k + 1) * vals
+    w_pre = np.concatenate([[0], np.cumsum(w, dtype=np.int64)])
+    sums = w_pre[cum[1:]] - w_pre[cum[:-1]]
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"].to_numpy(),
+            "out_len": out_len.astype(np.int32),
+            "res_wsum_pm": sums % _M,
+        }
+    )
+
+
+def frame_sample(binary_df: DataFrame) -> DataFrame:
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = sample_frames(b)
+            for i in range(0, len(out), _OUT_CHUNK):
+                yield out.iloc[i : i + _OUT_CHUNK]
+
+    return binary_df.select("doc_id", "payload").mapInPandas(_run, FRAME_SCHEMA)
+
+
+def byte_resample(binary_df: DataFrame) -> DataFrame:
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield resample_bytes(b)
+
+    return binary_df.select("doc_id", "payload").mapInPandas(_run, RESAMPLE_SCHEMA)
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frame_sample(binary_table(spark, sf_dir))
+
+
+def q_multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return byte_resample(binary_table(spark, sf_dir))
+
+
 def binary_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, payload:binary, meta:struct) — the canonical
     multimodal layout: opaque bytes + typed metadata for pruning/pushdown
@@ -127,6 +269,8 @@ def queries():
     return {
         "multimodal_features": q_multimodal_features,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_resample": q_multimodal_resample,
     }
 
 
@@ -148,6 +292,43 @@ def oracles():
         SELECT doc_id, 'text/plain' AS mime, lang,
                CAST(length(text) AS INT) AS n_chars,
                CAST(octet_length(encode(text)) AS INT) AS n_bytes
+        FROM documents
+        """,
+        "multimodal_frames": f"""
+        SELECT d.doc_id,
+               CAST(f.frame_idx AS INT) AS frame_idx,
+               CAST(LEAST({FRAME_BYTES},
+                    octet_length(encode(d.text)) - f.frame_idx * {FRAME_BYTES})
+                    AS INT) AS frame_len,
+               CAST(list_reduce(
+                      list_prepend(CAST(0 AS BIGINT),
+                        list_transform(
+                          range(1, CAST(LEAST({FRAME_BYTES},
+                                octet_length(encode(d.text))
+                                - f.frame_idx * {FRAME_BYTES}) AS BIGINT) + 1),
+                          j -> j * CAST(ascii(substr(d.text,
+                                 CAST(f.frame_idx * {FRAME_BYTES} + j AS INT),
+                                 1)) AS BIGINT))),
+                      (a, b) -> a + b) % {_M} AS BIGINT) AS frame_wsum_pm
+        FROM documents d,
+             LATERAL (SELECT unnest(range(0,
+                        CAST(ceil(octet_length(encode(d.text)) / {FRAME_BYTES}.0)
+                             AS BIGINT),
+                        {FRAME_STRIDE})) AS frame_idx) f
+        """,
+        "multimodal_resample": f"""
+        SELECT doc_id,
+               CAST(ceil(octet_length(encode(text)) / {RESAMPLE_STRIDE}.0) AS INT)
+                 AS out_len,
+               CAST(coalesce(list_reduce(
+                      list_prepend(CAST(0 AS BIGINT),
+                        list_transform(
+                          range(0, CAST(ceil(octet_length(encode(text))
+                                   / {RESAMPLE_STRIDE}.0) AS BIGINT)),
+                          k -> (k + 1) * CAST(ascii(substr(text,
+                                 CAST(1 + k * {RESAMPLE_STRIDE} AS INT),
+                                 1)) AS BIGINT))),
+                      (a, b) -> a + b), 0) % {_M} AS BIGINT) AS res_wsum_pm
         FROM documents
         """,
     }

@@ -127,6 +127,61 @@ def test_multimodal_stub_raises_and_fake_flows(spark):
     assert all(r["n_bytes"] > 0 and 0 <= r["head_byte"] < 128 for r in rows)
 
 
+def test_frame_sample_and_resample_edges():
+    """Pure-numpy edge cases: empty payload (no frames, zero-checksum
+    resample row), sub-frame payload, exact multi-frame boundary, and the
+    stride skipping frames 1..3."""
+    import pandas as pd
+
+    batch = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "payload": [b"", b"a", b"x" * 64 * 5, b"y" * (64 * 4 + 1)],
+        }
+    )
+    frames = multimodal.sample_frames(batch)
+    by_doc = frames.groupby("doc_id")["frame_idx"].apply(list).to_dict()
+    assert 1 not in by_doc  # empty payload -> no frames
+    assert by_doc[2] == [0]
+    assert by_doc[3] == [0, 4]  # 5 frames, stride 4 -> frames 0 and 4
+    assert by_doc[4] == [0, 4]  # frame 4 is the 1-byte tail
+    tail = frames[(frames.doc_id == 4) & (frames.frame_idx == 4)].iloc[0]
+    assert tail.frame_len == 1 and tail.frame_wsum_pm == ord("y")
+    rs = multimodal.resample_bytes(batch).set_index("doc_id")
+    assert rs.loc[1].out_len == 0 and rs.loc[1].res_wsum_pm == 0
+    assert rs.loc[2].out_len == 1 and rs.loc[2].res_wsum_pm == ord("a")
+    # doc 3: 320 bytes, stride 7 -> ceil(320/7)=46 samples, all 'x'
+    assert rs.loc[3].out_len == 46
+    assert rs.loc[3].res_wsum_pm == ord("x") * 46 * 47 // 2
+
+
+def test_frame_sample_explodes_rows(spark):
+    """The row-exploding mapInPandas shape: more output rows than docs,
+    chunked yield, and per-doc frame counts matching ceil/stride math."""
+    import pyspark.sql.functions as F
+
+    b = multimodal.binary_table(spark, SF)
+    n_docs = b.count()
+    frames = multimodal.frame_sample(b)
+    assert frames.count() > n_docs
+    got = (
+        frames.groupBy("doc_id").agg(F.count("*").alias("n"))
+        .join(
+            b.select(
+                "doc_id",
+                F.ceil(
+                    F.ceil(F.length("payload") / multimodal.FRAME_BYTES)
+                    / multimodal.FRAME_STRIDE
+                ).alias("want"),
+            ),
+            "doc_id",
+        )
+        .where(F.col("n") != F.col("want"))
+        .count()
+    )
+    assert got == 0
+
+
 def test_text_quality_bands_partition(spark):
     out = text.q_text_quality(spark, SF)
     import pyspark.sql.functions as F
