@@ -1,12 +1,14 @@
 """Multimodal column plumbing: opaque ``binary`` payloads with typed
 metadata, processed by Arrow-batched ``mapInPandas``.
 
-The container has no image/audio libraries, so actual decoding is STUBBED
-(``decode_image`` raises NotImplementedError; ``fake_features`` is the
-deterministic stand-in) — but everything Spark-side is real and tested:
-the binary column construction, the metadata struct schema, the
-mapInPandas UDF signature and batch shape, and the partitioning story.
-Swapping the stub for PIL/torchaudio changes one function body.
+The container has no image/audio libraries, so compressed-format decoding
+is stubbed — but ``decode_image`` is REAL for binary PPM/PGM (pure-numpy
+parser) with ``resize_image`` nearest-neighbor over the decoded array;
+JPEG/PNG/audio raise NotImplementedError until PIL/torchaudio are wired
+into that one branch. Everything Spark-side is real and tested: the
+binary column construction, the metadata struct schema, the mapInPandas
+UDF signature and batch shape (incl. the row-exploding frame-sample
+path), and the partitioning story.
 
 The payloads here are UTF-8 document bytes (the only binary source in the
 testdata), which conveniently makes the fake feature extraction
@@ -43,13 +45,48 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real decode hook — not available in this container."""
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6) / PGM (P5) payload to an HxWx3 / HxW uint8
+    array — pure numpy, no media libraries needed. Every other format
+    (JPEG/PNG/...) needs PIL, which this container lacks, and raises
+    NotImplementedError; wiring PIL in changes only that branch."""
+    magic = payload[:2]
+    if magic in (b"P6", b"P5"):
+        # header: magic, whitespace-separated width/height/maxval with
+        # optional '#' comment lines, ONE whitespace byte, then the raster
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                pos = payload.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1  # the single whitespace after maxval
+        w, h, maxval = fields
+        if maxval > 255:
+            raise NotImplementedError("16-bit PPM/PGM not supported")
+        ch = 3 if magic == b"P6" else 1
+        raster = np.frombuffer(payload, dtype=np.uint8, count=h * w * ch, offset=pos)
+        return raster.reshape((h, w, 3) if ch == 3 else (h, w))
     raise NotImplementedError(
-        "image/audio decoding requires PIL/torchaudio; wire them in here. "
-        "The Spark-side plumbing (binary column, metadata struct, "
-        "mapInPandas batching) is exercised via fake_features()."
+        "only binary PPM/PGM decode ships here; JPEG/PNG/audio require "
+        "PIL/torchaudio — wire them into this branch. The Spark-side "
+        "plumbing (binary column, metadata struct, mapInPandas batching) "
+        "is format-agnostic and exercised via fake_features()."
     )
+
+
+def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of a decoded HxW[xC] uint8 array — two
+    integer index maps, one fancy-indexing gather; no per-pixel Python."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return img[rows[:, None], cols[None, :]]
 
 
 def fake_features(batch: pd.DataFrame) -> pd.DataFrame:

@@ -127,6 +127,29 @@ def test_multimodal_stub_raises_and_fake_flows(spark):
     assert all(r["n_bytes"] > 0 and 0 <= r["head_byte"] < 128 for r in rows)
 
 
+def test_decode_ppm_and_resize():
+    """decode_image is REAL for binary PPM/PGM (pure numpy); resize is
+    nearest-neighbor over the decoded array."""
+    import numpy as np
+
+    rgb = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    ppm = b"P6\n# a comment\n6 4\n255\n" + rgb.tobytes()
+    out = multimodal.decode_image(ppm)
+    assert out.shape == (4, 6, 3) and np.array_equal(out, rgb)
+
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    pgm = b"P5 4 3 255\n" + gray.tobytes()
+    assert np.array_equal(multimodal.decode_image(pgm), gray)
+
+    small = multimodal.resize_image(out, 2, 3)
+    assert small.shape == (2, 3, 3)
+    assert np.array_equal(small, rgb[[0, 2]][:, [0, 2, 4]])
+    big = multimodal.resize_image(gray, 6, 8)
+    assert big.shape == (6, 8)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"P6 2 2 65535\n" + b"\0" * 24)
+
+
 def test_frame_sample_and_resample_edges():
     """Pure-numpy edge cases: empty payload (no frames, zero-checksum
     resample row), sub-frame payload, exact multi-frame boundary, and the
