@@ -294,6 +294,116 @@ def test_streaming_multibatch_file_source_equals_batch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_streaming_checkpoint_recovery_across_restart(spark, tmp_path):
+    """Kill-and-restart contract: query 1 processes file 0 (group-A
+    conversations complete; group-B conversations left OPEN in GroupState)
+    and is stopped; file 1 arrives while no query runs; query 2 restarts
+    from the SAME checkpoint and must (a) recover group-B's buffered turns
+    from the state store and finish them, (b) not re-emit group-A rows —
+    exactly-once across restart via the parquet file-sink commit log."""
+    import os
+    import time
+
+    from progquery_spark.extraction.extract import extract
+    from progquery_spark.fixtures import make_fixture, to_spark
+    from progquery_spark.streaming.kg_stream import (
+        TRANSCRIPT_SCHEMA,
+        streaming_extract,
+    )
+
+    tr = to_spark(spark, make_fixture(n_convs=6))
+    pdf = tr.toPandas().sort_values(["conv_id", "turn_idx"])
+    convs = sorted(pdf.conv_id.unique())
+    group_a = set(convs[: len(convs) // 2])
+    is_a = pdf.conv_id.isin(group_a)
+    tail_b = ~is_a & pdf.groupby("conv_id")["turn_idx"].transform(
+        lambda s: s >= s.max() - 1
+    )
+    inp = tmp_path / "turns_restart"
+    inp.mkdir()
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "ckpt_restart")
+
+    def write_file(i, part):
+        f = str(inp / f"{i:03d}.parquet")
+        spark.createDataFrame(part, TRANSCRIPT_SCHEMA).coalesce(1).write.parquet(f)
+        for root, _, files in os.walk(f):
+            for name in files:
+                os.utime(os.path.join(root, name), (1000 + i, 1000 + i))
+
+    write_file(0, pdf[~tail_b])  # group A complete + group B minus tails
+
+    key_cols = (
+        "conv_id, turn_idx, kind, coalesce(norm_key, subj, ''), "
+        "coalesce(pred, mention_type, ''), span_start, span_end"
+    )
+    extract(tr).createOrReplaceTempView("kg_batch_rs")
+    want = {
+        tuple(r)
+        for r in spark.sql(f"SELECT {key_cols} FROM kg_batch_rs").collect()
+    }
+    want_a = {t for t in want if t[0] in group_a}
+    assert want_a and want - want_a, "fixture must populate both groups"
+
+    def start_query():
+        stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(inp) + "/*")
+        # every fixture conversation closes via a final turn, so the idle
+        # timeout is irrelevant — set it far past the test horizon so a
+        # slow host cannot prefix-flush group B during phase-1 polling
+        return (
+            streaming_extract(stream, idle_timeout_ms=3_600_000)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def sink_rows():
+        try:
+            spark.read.parquet(out).createOrReplaceTempView("kg_sink_rs")
+            return {
+                tuple(r)
+                for r in spark.sql(
+                    f"SELECT {key_cols} FROM kg_sink_rs"
+                ).collect()
+            }, spark.table("kg_sink_rs").count()
+        except Exception:
+            return set(), 0
+
+    # phase 1: group A completes (incl. single-intro convs via the 5 s
+    # idle timeout); group B stays buffered in state
+    q = start_query()
+    try:
+        deadline = time.time() + 240
+        got = set()
+        while time.time() < deadline and got != want_a:
+            time.sleep(2)
+            got, _ = sink_rows()
+    finally:
+        q.stop()
+    assert got == want_a, "query 1 must emit exactly the group-A rows"
+
+    # the restart gap: new data arrives while nothing is running
+    write_file(1, pdf[tail_b])
+
+    # phase 2: restart from the same checkpoint
+    q = start_query()
+    try:
+        deadline = time.time() + 240
+        got, n = set(), 0
+        while time.time() < deadline and got != want:
+            time.sleep(2)
+            got, n = sink_rows()
+    finally:
+        q.stop()
+    assert got == want, "restarted query must complete group B from state"
+    assert n == len(want), "exactly-once across restart (no duplicate rows)"
+
+
 def test_streaming_kg_extract_equals_batch(spark, tmp_path):
     """availableNow drain of the stateful streaming extractor emits exactly
     the batch extraction rows (same conversations, same triples)."""
