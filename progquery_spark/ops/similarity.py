@@ -281,6 +281,110 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- hyperplane-band LSH near-dup: the trainless blocking scale path --------
+#
+# The IVF-blocked near-dup above needs K ~ O(n / target_bucket) centroids to
+# keep its bucket self-join subquadratic, but Lloyd training cost grows with
+# K — at 10^9+ vectors a trained coarse quantizer stops being the right
+# blocking tool for PAIR generation (it remains right for query routing).
+# Sign-random-projection (SimHash-for-vectors) blocking needs NO training:
+# each vector gets n_bands keys of `bits` sign bits against fixed +-1
+# hyperplanes; candidates share a (band, key); exact integer cosine
+# verifies. Key space 2^bits is the scale knob (bits=16 holds avg bucket
+# ~30 at 2M vectors; ~32 bits at 10^10), and band buckets over BUCKET_CAP
+# generate no pairs — the same O(k^2) bound as the MinHash banding.
+# Planes are generated driver-side (seeded PRNG) and embedded as literals
+# in BOTH engines, so the DuckDB oracle certifies this exact geometry.
+E_BANDS = 8
+E_BITS = 4  # frozen gate default (recall 13/15 vs all-pairs at sf0.01,
+# candidates 2.5% of n^2); pass bits=16+ at corpus scale to hold the
+# average bucket small — key space 2^bits per band is the scale knob
+
+
+def _eplane_rows(n_planes: int, dim: int = DIM) -> list[list[int]]:
+    """n_planes x dim matrix of +-1 hyperplane normals, deterministic."""
+    import random
+
+    rng = random.Random(0xE5417B)
+    return [
+        [1 if rng.random() < 0.5 else -1 for _ in range(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def _eband_key_structs(planes: list[list[int]], n_bands: int, bits: int):
+    """array<struct<band,band_key>>: per-band packed sign-bit keys. Each
+    plane's dot product appears exactly once in the projection (bits are
+    Horner-packed in Python, not via a shared HOF array, so Catalyst never
+    re-inlines the dot computation per element_at)."""
+    structs = []
+    for b in range(n_bands):
+        key = F.lit(0).cast("long")
+        for i in range(bits):
+            p = F.array(*[F.lit(x) for x in planes[b * bits + i]])
+            dot = F.aggregate(
+                F.zip_with("q", p, lambda x, y: x * y.cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, z: acc + z,
+            )
+            key = key * 2 + (dot >= 0).cast("long")
+        structs.append(
+            F.struct(F.lit(b).cast("int").alias("band"), key.alias("band_key"))
+        )
+    return F.array(*structs)
+
+
+def q_dedup_embedding_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_bands: int = E_BANDS,
+    bits: int = E_BITS,
+    threshold: int = NEAR_DUP_COS,
+) -> DataFrame:
+    """Near-duplicate pairs via hyperplane-band LSH blocking + exact
+    integer-cosine verify. Trainless; recall per pair at angle theta is
+    1 - (1 - (1 - theta/pi)^bits)^n_bands — a documented LSH tradeoff,
+    certified as-is by the oracle (which replays the same planes)."""
+    from .dedup import BUCKET_CAP
+
+    planes = _eplane_rows(n_bands * bits)
+    v = _quantized(spark, sf_dir)
+    bk = v.select(
+        "vec_id", F.explode(_eband_key_structs(planes, n_bands, bits)).alias("bb")
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key"))
+    w = Window.partitionBy("band", "band_key")
+    bk = bk.withColumn("bucket_n", F.count(F.lit(1)).over(w)).filter(
+        F.col("bucket_n") <= BUCKET_CAP
+    )
+    a = bk.select("band", "band_key", F.col("vec_id").alias("vec_a"))
+    b = bk.select("band", "band_key", F.col("vec_id").alias("vec_b"))
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = v.select(
+        F.col("vec_id").alias("vec_a"), F.col("q").alias("q_a"), F.col("n2").alias("n2_a")
+    )
+    vb = v.select(
+        F.col("vec_id").alias("vec_b"), F.col("q").alias("q_b"), F.col("n2").alias("n2_b")
+    )
+    j = cand.join(va, "vec_a").join(vb, "vec_b")
+    dot = F.aggregate(
+        F.zip_with("q_a", "q_b", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, z: acc + z,
+    )
+    return (
+        j.withColumn("dot", dot)
+        .withColumn("cos_pm", _cos_pm(F.col("dot"), F.col("n2_a"), F.col("n2_b")))
+        .filter(F.col("cos_pm") >= threshold)
+        .select("vec_a", "vec_b", "cos_pm")
+    )
+
+
 def _topk(pairs: DataFrame) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_pm").desc(), F.col("neighbor_id").asc()
@@ -365,6 +469,7 @@ def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries():
     return {
         "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
@@ -416,13 +521,20 @@ cent{t} AS (
     return ",".join(parts)
 
 
-def _qvec_ctes() -> str:
+def _base_ctes() -> str:
+    """qv/ex/nrm: quantized embeddings, exploded components, squared norms —
+    the training-free foundation every similarity oracle shares."""
     return f"""
 qv AS (SELECT vec_id, label,
               list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {Q_SCALE}) AS BIGINT)) AS q
        FROM embeddings),
 ex AS (SELECT vec_id, label, unnest(q) AS qe, generate_subscripts(q, 1) AS pos FROM qv),
-nrm AS (SELECT vec_id, SUM(qe * qe) AS n2 FROM ex GROUP BY vec_id),
+nrm AS (SELECT vec_id, SUM(qe * qe) AS n2 FROM ex GROUP BY vec_id)"""
+
+
+def _qvec_ctes() -> str:
+    return f"""
+{_base_ctes()},
 {_train_ctes()},
 cdot AS (SELECT e.vec_id, c.k, SUM(e.qe * c.val) AS dot
          FROM ex e JOIN cent c ON c.pos = e.pos GROUP BY e.vec_id, c.k),
@@ -439,8 +551,60 @@ def _cos_sql(dot, n2a, n2b):
     return f"CAST(floor({float(COS_SCALE)} * {dot} / sqrt(CAST({n2a} * {n2b} AS DOUBLE))) AS INT)"
 
 
+def _eplane_lsh_ctes(n_bands: int = E_BANDS, bits: int = E_BITS) -> str:
+    """Hyperplane-band LSH replica: the SAME +-1 planes the Spark side
+    embeds as literals (``_eplane_rows`` is shared Python), sign-bit keys
+    Horner-packed per band, bucket cap, capped self-join candidates.
+    Exact integer dots everywhere -> bit-identical band keys cross-engine."""
+    from .dedup import BUCKET_CAP
+
+    planes = _eplane_rows(n_bands * bits)
+    vals = ", ".join(
+        f"({pid}, [{', '.join(str(x) for x in row)}])"
+        for pid, row in enumerate(planes)
+    )
+    return f"""
+planes AS (
+  SELECT pid, CAST(generate_subscripts(v, 1) AS INT) AS pos,
+         CAST(unnest(v) AS BIGINT) AS val
+  FROM (VALUES {vals}) t(pid, v)),
+pdot AS (
+  SELECT e.vec_id, p.pid, SUM(e.qe * p.val) AS dot
+  FROM ex e JOIN planes p ON p.pos = e.pos
+  GROUP BY e.vec_id, p.pid),
+bkeys AS (
+  SELECT vec_id, CAST(pid // {bits} AS INT) AS band,
+         SUM(CASE WHEN dot >= 0
+                  THEN CAST(1 AS BIGINT) << ({bits} - 1 - CAST(pid % {bits} AS INT))
+                  ELSE CAST(0 AS BIGINT) END) AS band_key
+  FROM pdot GROUP BY vec_id, pid // {bits}),
+bsz AS (SELECT band, band_key, COUNT(*) AS bucket_n
+        FROM bkeys GROUP BY band, band_key),
+keep AS (SELECT k.vec_id, k.band, k.band_key
+         FROM bkeys k JOIN bsz s
+           ON s.band = k.band AND s.band_key = k.band_key
+         WHERE s.bucket_n <= {BUCKET_CAP}),
+ecand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM keep a JOIN keep b
+            ON a.band = b.band AND a.band_key = b.band_key
+               AND a.vec_id < b.vec_id)"""
+
+
 def oracles():
     return {
+        "dedup_embedding_lsh": f"""
+        WITH {_base_ctes()},
+        {_eplane_lsh_ctes()},
+        dots AS (
+          SELECT c.vec_a, c.vec_b, SUM(ea.qe * eb.qe) AS dot
+          FROM ecand c
+          JOIN ex ea ON ea.vec_id = c.vec_a
+          JOIN ex eb ON eb.vec_id = c.vec_b AND eb.pos = ea.pos
+          GROUP BY c.vec_a, c.vec_b)
+        SELECT vec_a, vec_b, {_cos_sql('dot', 'na.n2', 'nb.n2')} AS cos_pm
+        FROM dots JOIN nrm na ON na.vec_id = vec_a JOIN nrm nb ON nb.vec_id = vec_b
+        WHERE {_cos_sql('dot', 'na.n2', 'nb.n2')} >= {NEAR_DUP_COS}
+        """,
         "dedup_embedding": f"""
         WITH {_qvec_ctes()},
         dots AS (

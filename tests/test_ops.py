@@ -78,6 +78,39 @@ def test_lsh_bucket_cap_bounds_degenerate_buckets(spark, tmp_path):
     assert oracle == out
 
 
+def test_embedding_lsh_subset_of_exact_with_recall(spark):
+    """Hyperplane-band LSH near-dup: every emitted pair passed the exact
+    integer-cosine verify, so pairs (and scores) must be a subset of the
+    all-pairs brute-force near-dup set; blocking recall has a floor at
+    fixture scale."""
+    import pyspark.sql.functions as F
+
+    v = similarity._quantized(spark, SF)
+    va = v.select(
+        F.col("vec_id").alias("vec_a"), F.col("q").alias("q_a"), F.col("n2").alias("n2_a")
+    )
+    vb = v.select(
+        F.col("vec_id").alias("vec_b"), F.col("q").alias("q_b"), F.col("n2").alias("n2_b")
+    )
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cos_pm"]
+        for r in similarity._pair_cos(
+            va, vb, F.col("vec_a") < F.col("vec_b")
+        )
+        .filter(F.col("cos_pm") >= similarity.NEAR_DUP_COS)
+        .collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"]): r["cos_pm"]
+        for r in similarity.q_dedup_embedding_lsh(spark, SF).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, s in lsh.items():
+        assert exact[k] == s
+    if exact:
+        assert len(lsh) / len(exact) >= 0.5  # trainless-blocking recall floor
+
+
 def test_simhash_is_32bit(spark):
     out = dedup.q_dedup_simhash(spark, SF)
     import pyspark.sql.functions as F

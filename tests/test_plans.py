@@ -91,9 +91,13 @@ def test_no_cartesian_in_similarity_plans(spark):
     """VERDICT r1: no registered query may plan a cartesian product —
     embedding near-dup and IVF search must equi-join on the quantizer
     bucket."""
-    from progquery_spark.ops.similarity import q_ann_ivf, q_dedup_embedding
+    from progquery_spark.ops.similarity import (
+        q_ann_ivf,
+        q_dedup_embedding,
+        q_dedup_embedding_lsh,
+    )
 
-    for q in (q_dedup_embedding, q_ann_ivf):
+    for q in (q_dedup_embedding, q_ann_ivf, q_dedup_embedding_lsh):
         plan = _plan(q(spark, "/root/testdata/sf0.001"))
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
