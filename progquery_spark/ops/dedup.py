@@ -330,9 +330,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash(_doc_gids(_docs(spark, sf_dir)))
 
 
-def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs: candidates from 4x8-bit band buckets, verified by
-    hamming(simhash_a, simhash_b) <= HAM_MAX."""
+def q_dedup_simhash_pairs(
+    spark: SparkSession, sf_dir: str, *, band_bits: int = 8
+) -> DataFrame:
+    """Near-dup pairs: candidates from (32/band_bits) x band_bits-bit band
+    buckets, verified by hamming(simhash_a, simhash_b) <= HAM_MAX.
+
+    ``band_bits`` is the scale knob: 8-bit bands give only 256 keys, so
+    the average bucket is n/256 and the band self-join saturates near
+    ~50k docs; 16-bit bands (65,536 keys) hold it at corpus scale. Wider
+    bands only shrink buckets — a 16-bit band match implies both its
+    8-bit halves match, so pairs(16) is a subset of pairs(8) (recall
+    trades exactly like MinHash banding). Buckets over BUCKET_CAP
+    generate no pairs (the same O(k^2) bound as the MinHash band join,
+    replicated by the oracle)."""
+    n_bands = 32 // band_bits
+    mod = 1 << band_bits
     sh = _simhash(_doc_gids(_docs(spark, sf_dir)))
     banded = sh.select(
         "doc_id",
@@ -341,12 +354,16 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[
                 F.struct(
                     F.lit(k).alias("band"),
-                    F.expr(f"(simhash DIV {256 ** k}) % 256").alias("bv"),
+                    F.expr(f"(simhash DIV {mod ** k}) % {mod}").alias("bv"),
                 )
-                for k in range(4)
+                for k in range(n_bands)
             ])
         ).alias("p"),
     ).select("doc_id", "simhash", F.col("p.band").alias("band"), F.col("p.bv").alias("bv"))
+    wb = Window.partitionBy("band", "bv")
+    banded = banded.withColumn("bucket_n", F.count(F.lit(1)).over(wb)).filter(
+        F.col("bucket_n") <= BUCKET_CAP
+    )
     a = banded.select("band", "bv", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     b = banded.select("band", "bv", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
     return (
@@ -543,10 +560,16 @@ def oracles():
           SELECT doc_id,
                  CAST(SUM(CASE WHEN t > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
           FROM bits GROUP BY doc_id),
-        banded AS (
+        banded0 AS (
           SELECT doc_id, simhash, k.band,
                  (simhash // CAST(power(256, k.band) AS BIGINT)) % 256 AS bv
           FROM sh CROSS JOIN (VALUES (0), (1), (2), (3)) k(band)),
+        banded AS (
+          SELECT doc_id, simhash, band, bv FROM (
+            SELECT doc_id, simhash, band, bv,
+                   COUNT(*) OVER (PARTITION BY band, bv) AS bucket_n
+            FROM banded0)
+          WHERE bucket_n <= {BUCKET_CAP}),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  a.simhash AS sh_a, b.simhash AS sh_b

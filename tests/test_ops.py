@@ -78,6 +78,60 @@ def test_lsh_bucket_cap_bounds_degenerate_buckets(spark, tmp_path):
     assert oracle == out
 
 
+def test_simhash_wide_bands_subset_of_narrow(spark):
+    """The simhash band-width scale knob: a 16-bit band match implies both
+    its 8-bit halves match, so pairs(band_bits=16) must be a subset of
+    pairs(band_bits=8) with identical hamming distances (caps don't bite
+    at fixture scale)."""
+    narrow = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.q_dedup_simhash_pairs(spark, SF).collect()
+    }
+    wide = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.q_dedup_simhash_pairs(spark, SF, band_bits=16).collect()
+    }
+    assert set(wide) <= set(narrow)
+    for k, h in wide.items():
+        assert narrow[k] == h
+
+
+def test_simhash_bucket_cap_bounds_degenerate_buckets(spark, tmp_path):
+    """A degenerate simhash band bucket (> BUCKET_CAP docs with the same
+    band byte — guaranteed once n >> 256 * BUCKET_CAP) must generate no
+    pairs, and the oracle must agree."""
+    import duckdb
+    import pandas as pd
+
+    n_hot = dedup.BUCKET_CAP + 5
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(n_hot)) + [9001, 9002],
+            "text": ["common boilerplate header text block"] * n_hot
+            + [
+                "rare unique payload alpha beta gamma delta",
+                "rare unique payload alpha beta gamma epsilon",
+            ],
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(docs).coalesce(1).write.parquet(
+        str(sf / "documents.parquet")
+    )
+    out = _pairs(dedup.q_dedup_simhash_pairs(spark, str(sf)))
+    assert all(a not in range(n_hot) and b not in range(n_hot) for a, b in out)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    oracle = {
+        (a, b)
+        for a, b, _ in con.execute(
+            dedup.oracles()["dedup_simhash_pairs"]
+        ).fetchall()
+    }
+    assert oracle == out
+
+
 def test_embedding_lsh_subset_of_exact_with_recall(spark):
     """Hyperplane-band LSH near-dup: every emitted pair passed the exact
     integer-cosine verify, so pairs (and scores) must be a subset of the

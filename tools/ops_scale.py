@@ -1,0 +1,213 @@
+"""Ops-family scale evidence: the training-data operators at ~400-1000x
+the bench corpus (the documents/embeddings analog of the 28.7M-turn KG
+run in BENCH/BASELINE.md).
+
+Usage:
+  python tools/ops_scale.py prepare <dir> [n_docs] [n_vecs]
+  python tools/ops_scale.py probe   <dir>            # banding sanity only
+  python tools/ops_scale.py run     <dir> [cpus] [op ...]
+
+``prepare`` synthesizes a deterministic corpus with PLANTED structure so
+every measured op has known work to find (no external data):
+
+documents (n_docs, default 2M, ~40 'w###' tokens from a 1024-word vocab):
+  - docs come in groups of 4; member 1 of every 10th group is an EXACT
+    clone of member 0; member 2 of every (10k+5)th group is a NEAR-DUP
+    (one word mutated, Jaccard ~0.9);
+  - every 97th group carries a shared 12-token boilerplate prefix —
+    the degenerate-bucket axis the POSTING_CAP/BUCKET_CAP guards bound.
+embeddings (n_vecs, default 2M, 64-d float):
+  - v = label-tilt(base) + uniform noise(base); for vec_id % 40 == 1 the
+    vector shares its base (tilt AND noise) with vec_id-1, differing by
+    +0.002 in one dimension -> planted near-dup pairs at cos ~0.999
+    (n_vecs/40 of them), while random same-label pairs sit at cos ~0.12.
+
+``run`` measures each op with its documented scale knobs (simhash
+band_bits=16, embedding-LSH bits=16 / threshold 0.80) — the narrow gate
+defaults saturate by design at this corpus size (8-bit keys / fixed-K
+IVF pair blocking), which is exactly what the knobs exist for.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+# 16k words -> ~270M possible 2-grams: postings stay sparse at 2M docs
+# (mean df ~0.3) the way a natural Zipf tail does, so the inverted-index
+# baseline measures verify cost, not an artificial small-vocab blow-up;
+# the planted boilerplate grams are still hot enough to trip POSTING_CAP
+VOCAB = 16384
+LANGS = "array('en','zh','es','fr','de')"
+BOILER = " ".join(f"bp{i}" for i in range(12))
+
+
+def prepare(out_dir: str, n_docs: int, n_vecs: int) -> None:
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+
+    from progquery_spark.session import get_spark
+
+    spark = get_spark("ops-scale-prep")
+
+    d = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    g = F.expr("doc_id DIV 4")
+    m = F.expr("doc_id % 4")
+    # stream s: which content stream the doc draws words from. Exact
+    # clones and near-dups draw from member 0's stream.
+    s = (
+        F.when((m == 1) & (g % 10 == 0), F.lit(0))
+        .when((m == 2) & (g % 10 == 5), F.lit(0))
+        .otherwise(m)
+    )
+    d = d.withColumn("g", g).withColumn("m", m).withColumn("s", s)
+    n_words = (F.lit(30) + F.pmod(F.col("g") * 7 + F.col("s") * 13, F.lit(30))).alias(
+        "n_words"
+    )
+    d = d.withColumn("n_words", n_words)
+    # near-dup mutation position (1-based), only for member 2 of 10k+5 groups
+    d = d.withColumn(
+        "mut_pos",
+        F.when(
+            (F.col("m") == 2) & (F.col("g") % 10 == 5),
+            F.pmod(F.col("g"), F.col("n_words")) + 1,
+        ).otherwise(F.lit(-1)),
+    )
+
+    def word(i):
+        # xxhash64, NOT affine arithmetic: (a + pos*c) mod V is a fixed-
+        # stride progression, which makes every document's token set a
+        # shifted copy of every other's — a degenerate all-near-dup corpus
+        base = F.pmod(F.xxhash64(F.col("g"), F.col("s"), i), F.lit(VOCAB))
+        idx = F.when(i == F.col("mut_pos"), F.pmod(base + 1, F.lit(VOCAB))).otherwise(
+            base
+        )
+        return F.concat(F.lit("w"), idx.cast("string"))
+
+    body = F.concat_ws(
+        " ", F.transform(F.sequence(F.lit(1), F.col("n_words")), word)
+    )
+    text = F.when(
+        F.col("g") % 97 == 3, F.concat(F.lit(BOILER + " "), body)
+    ).otherwise(body)
+    docs = d.select(
+        "doc_id",
+        text.alias("text"),
+        F.element_at(F.expr(LANGS), (F.pmod("doc_id", F.lit(5)) + 1).cast("int")).alias(
+            "lang"
+        ),
+        F.concat(F.lit("src"), F.pmod("doc_id", F.lit(20)).cast("string")).alias(
+            "source"
+        ),
+    ).withColumn("n_chars", F.length("text"))
+    docs.repartition(64).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    v = spark.range(n_vecs).select(F.col("id").alias("vec_id"))
+    base = F.when(F.col("vec_id") % 40 == 1, F.col("vec_id") - 1).otherwise(
+        F.col("vec_id")
+    )
+    v = v.withColumn("base", base).withColumn(
+        "label", F.pmod("base", F.lit(10)).cast("int")
+    )
+    pert_dim = F.pmod("vec_id", F.lit(64)) + 1
+
+    def comp(dd):
+        tilt = (
+            F.pmod(F.col("label") * 37 + dd * 11, F.lit(15)) - 7
+        ).cast("double") / 20.0
+        # hashed per (base, dim) — affine-in-dim streams are shifted
+        # progressions that correlate every vector with every other
+        noise = (
+            F.pmod(F.xxhash64(F.col("base"), dd), F.lit(2001)) - 1000
+        ).cast("double") / 1000.0
+        pert = F.when(
+            (F.col("vec_id") % 40 == 1) & (dd == pert_dim), F.lit(0.002)
+        ).otherwise(F.lit(0.0))
+        return (tilt + noise + pert).cast("float")
+
+    vecs = v.select(
+        "vec_id",
+        F.transform(F.sequence(F.lit(1), F.lit(64)), comp).alias("embedding"),
+        "label",
+    )
+    vecs.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+    nd = spark.read.parquet(f"{out_dir}/documents.parquet").count()
+    nv = spark.read.parquet(f"{out_dir}/embeddings.parquet").count()
+    print(json.dumps({"prepared": out_dir, "n_docs": nd, "n_vecs": nv}))
+    spark.stop()
+
+
+def _timed(name, mk, results):
+    # time construction + count: some operators do eager driver-side work
+    # while building the frame (the CC loop, codebook training)
+    t0 = time.time()
+    n = mk().count()
+    dt = round(time.time() - t0, 1)
+    results[name] = {"rows": n, "wall_s": dt}
+    print(f"  {name}: {n} rows in {dt}s", flush=True)
+
+
+def probe(corpus: str) -> None:
+    sys.path.insert(0, "/root/repo")
+    from progquery_spark.ops import dedup
+    from progquery_spark.session import get_spark
+
+    spark = get_spark("ops-scale-probe")
+    r = dedup.q_dedup_lsh_bucket_stats(spark, corpus).collect()[0]
+    print(json.dumps({"minhash_banding": r.asDict()}))
+    spark.stop()
+
+
+def run(corpus: str, cpus: int, only: set[str]) -> None:
+    sys.path.insert(0, "/root/repo")
+    from progquery_spark.ops import dedup, similarity, text
+    from progquery_spark.session import get_spark
+
+    spark = get_spark(f"ops-scale-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=2 * cpus)
+    results: dict[str, dict] = {}
+    ops = {
+        "text_tokens": lambda: text.q_text_tokens(spark, corpus),
+        "text_fingerprint": lambda: text.q_text_fingerprint(spark, corpus),
+        "dedup_exact": lambda: dedup.q_dedup_exact(spark, corpus),
+        "dedup_ngram_jaccard": lambda: dedup.q_dedup_ngram_jaccard(spark, corpus),
+        "dedup_minhash_lsh": lambda: dedup.q_dedup_minhash_lsh(spark, corpus),
+        "dedup_clusters": lambda: dedup.q_dedup_clusters(spark, corpus),
+        "dedup_simhash_pairs_b16": lambda: dedup.q_dedup_simhash_pairs(
+            spark, corpus, band_bits=16
+        ),
+        "dedup_embedding_lsh_b16": lambda: similarity.q_dedup_embedding_lsh(
+            spark, corpus, bits=16, threshold=80000
+        ),
+        "ann_topk": lambda: similarity.q_ann_topk(spark, corpus),
+        "ann_ivf_multiprobe": lambda: similarity.q_ann_ivf_multiprobe(spark, corpus),
+    }
+    t0 = time.time()
+    for name, mk in ops.items():
+        if only and name not in only:
+            continue
+        _timed(name, mk, results)
+    total = round(time.time() - t0, 1)
+    print(json.dumps({"metric": "ops_scale", "corpus": corpus, "cpus": cpus,
+                      "total_wall_s": total, "ops": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1]
+    if cmd == "prepare":
+        prepare(
+            sys.argv[2],
+            int(sys.argv[3]) if len(sys.argv) > 3 else 2_000_000,
+            int(sys.argv[4]) if len(sys.argv) > 4 else 2_000_000,
+        )
+    elif cmd == "probe":
+        probe(sys.argv[2])
+    elif cmd == "run":
+        cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+        run(sys.argv[2], cpus, set(sys.argv[4:]))
+    else:
+        raise SystemExit(f"unknown command {cmd}")
