@@ -386,6 +386,9 @@ def queries():
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_simhash_pairs_b16": lambda spark, sf_dir: q_dedup_simhash_pairs(
+            spark, sf_dir, band_bits=16
+        ),
     }
 
 
@@ -463,6 +466,44 @@ def _minhash_ctes() -> str:
             ON a.band = b.band AND a.band_key = b.band_key
            AND a.doc_id < b.doc_id)
     """
+
+
+def _simhash_pairs_sql(band_bits: int) -> str:
+    """Simhash band-pair oracle at a given band width — mirrors
+    q_dedup_simhash_pairs(band_bits=...) incl. the bucket cap."""
+    n_bands = 32 // band_bits
+    mod = 1 << band_bits
+    bands = ", ".join(f"({k})" for k in range(n_bands))
+    return f"""
+        WITH {_GRAM_CTES},
+        planes(j, a, b, pw) AS (VALUES {_perm_values(N_BITS, _SA, _SB, with_pw=True)}),
+        bits AS (
+          SELECT doc_id, p.j, p.pw,
+                 SUM(CASE WHEN (p.a * dg.gid + p.b) % {_M} % 2 = 1
+                          THEN 1 ELSE -1 END) AS t
+          FROM dg CROSS JOIN planes p GROUP BY doc_id, p.j, p.pw),
+        sh AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN t > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
+          FROM bits GROUP BY doc_id),
+        banded0 AS (
+          SELECT doc_id, simhash, k.band,
+                 (simhash // CAST(power({mod}, k.band) AS BIGINT)) % {mod} AS bv
+          FROM sh CROSS JOIN (VALUES {bands}) k(band)),
+        banded AS (
+          SELECT doc_id, simhash, band, bv FROM (
+            SELECT doc_id, simhash, band, bv,
+                   COUNT(*) OVER (PARTITION BY band, bv) AS bucket_n
+            FROM banded0)
+          WHERE bucket_n <= {BUCKET_CAP}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.simhash AS sh_a, b.simhash AS sh_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {HAM_MAX}
+        """
 
 
 def oracles():
@@ -548,34 +589,6 @@ def oracles():
                CAST(SUM(CASE WHEN t > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
         FROM bits GROUP BY doc_id
         """,
-        "dedup_simhash_pairs": f"""
-        WITH {_GRAM_CTES},
-        planes(j, a, b, pw) AS (VALUES {_perm_values(N_BITS, _SA, _SB, with_pw=True)}),
-        bits AS (
-          SELECT doc_id, p.j, p.pw,
-                 SUM(CASE WHEN (p.a * dg.gid + p.b) % {_M} % 2 = 1
-                          THEN 1 ELSE -1 END) AS t
-          FROM dg CROSS JOIN planes p GROUP BY doc_id, p.j, p.pw),
-        sh AS (
-          SELECT doc_id,
-                 CAST(SUM(CASE WHEN t > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
-          FROM bits GROUP BY doc_id),
-        banded0 AS (
-          SELECT doc_id, simhash, k.band,
-                 (simhash // CAST(power(256, k.band) AS BIGINT)) % 256 AS bv
-          FROM sh CROSS JOIN (VALUES (0), (1), (2), (3)) k(band)),
-        banded AS (
-          SELECT doc_id, simhash, band, bv FROM (
-            SELECT doc_id, simhash, band, bv,
-                   COUNT(*) OVER (PARTITION BY band, bv) AS bucket_n
-            FROM banded0)
-          WHERE bucket_n <= {BUCKET_CAP}),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 a.simhash AS sh_a, b.simhash AS sh_b
-          FROM banded a JOIN banded b
-            ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
-        SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
-        FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {HAM_MAX}
-        """,
+        "dedup_simhash_pairs": _simhash_pairs_sql(band_bits=8),
+        "dedup_simhash_pairs_b16": _simhash_pairs_sql(band_bits=16),
     }
