@@ -290,15 +290,21 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sign-random-projection (SimHash-for-vectors) blocking needs NO training:
 # each vector gets n_bands keys of `bits` sign bits against fixed +-1
 # hyperplanes; candidates share a (band, key); exact integer cosine
-# verifies. Key space 2^bits is the scale knob (bits=16 holds avg bucket
-# ~30 at 2M vectors; ~32 bits at 10^10), and band buckets over BUCKET_CAP
-# generate no pairs — the same O(k^2) bound as the MinHash banding.
+# verifies. Key space 2^bits is the scale knob: size it to the corpus so
+# 2^bits >= ~n/2 and the average bucket is O(1) — bits=20 at 2M vectors,
+# ~32 at 10^10. (Measured: bits=16 at 2M leaves avg bucket ~30 -> ~236M
+# candidate pairs whose verify join shuffles the full quantized vectors,
+# >60 GB shuffle + a 58 GB heap = kernel OOM on this host; bits=20 cuts
+# candidates ~15x and the planted near-exact pairs keep recall ~1 because
+# per-band hit probability is (1 - theta/pi)^bits ~ 0.85 at theta=0.026
+# with 8 independent bands.) Band buckets over BUCKET_CAP generate no
+# pairs — the same O(k^2) bound as the MinHash banding.
 # Planes are generated driver-side (seeded PRNG) and embedded as literals
 # in BOTH engines, so the DuckDB oracle certifies this exact geometry.
 E_BANDS = 8
 E_BITS = 4  # frozen gate default (recall 13/15 vs all-pairs at sf0.01,
-# candidates 2.5% of n^2); pass bits=16+ at corpus scale to hold the
-# average bucket small — key space 2^bits per band is the scale knob
+# candidates 2.5% of n^2); at corpus scale pass bits so 2^bits >= ~n/2
+# (avg bucket O(1)) — key space 2^bits per band is the scale knob
 
 
 def _eplane_rows(n_planes: int, dim: int = DIM) -> list[list[int]]:

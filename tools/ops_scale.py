@@ -6,6 +6,7 @@ Usage:
   python tools/ops_scale.py prepare <dir> [n_docs] [n_vecs]
   python tools/ops_scale.py probe   <dir>            # banding sanity only
   python tools/ops_scale.py run     <dir> [cpus] [op ...]
+  python tools/ops_scale.py pair    <dir> <lo>-<hi> <reps> <op ...>
 
 ``prepare`` synthesizes a deterministic corpus with PLANTED structure so
 every measured op has known work to find (no external data):
@@ -23,9 +24,13 @@ embeddings (n_vecs, default 2M, 64-d float):
     (n_vecs/40 of them), while random same-label pairs sit at cos ~0.12.
 
 ``run`` measures each op with its documented scale knobs (simhash
-band_bits=16, embedding-LSH bits=16 / threshold 0.80) — the narrow gate
+band_bits=16, embedding-LSH bits=20 / threshold 0.80) — the narrow gate
 defaults saturate by design at this corpus size (8-bit keys / fixed-K
 IVF pair blocking), which is exactly what the knobs exist for.
+Embedding-LSH key space must track the corpus (2^bits >= ~n/2): bits=16
+at 2M vectors leaves avg bucket ~30 and the verify join's shuffle of
+~236M candidate pairs carrying full quantized vectors OOM-killed the
+64 GB JVM; bits=20 holds avg bucket ~2.
 """
 
 from __future__ import annotations
@@ -179,8 +184,8 @@ def run(corpus: str, cpus: int, only: set[str]) -> None:
         "dedup_simhash_pairs_b16": lambda: dedup.q_dedup_simhash_pairs(
             spark, corpus, band_bits=16
         ),
-        "dedup_embedding_lsh_b16": lambda: similarity.q_dedup_embedding_lsh(
-            spark, corpus, bits=16, threshold=80000
+        "dedup_embedding_lsh_b20": lambda: similarity.q_dedup_embedding_lsh(
+            spark, corpus, bits=20, threshold=80000
         ),
         "ann_topk": lambda: similarity.q_ann_topk(spark, corpus),
         "ann_ivf_multiprobe": lambda: similarity.q_ann_ivf_multiprobe(spark, corpus),
@@ -196,6 +201,46 @@ def run(corpus: str, cpus: int, only: set[str]) -> None:
     spark.stop()
 
 
+def pair(corpus: str, lo: int, hi: int, reps: int, only: list[str]) -> None:
+    """N -> 4N scaling evidence for the ops family (north-rule protocol,
+    same as tools/bench_scaling.py for the KG path): both levels pinned
+    with taskset to exactly their core budget, run interleaved within each
+    rep in fresh subprocess JVMs, min wall per (op, level) reported,
+    efficiency = (t_lo / t_hi) / (hi / lo)."""
+    import subprocess
+
+    walls: dict[tuple[str, int], float] = {}
+    for rep in range(reps):
+        for cpus in (lo, hi):
+            out = subprocess.run(
+                ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
+                 "/root/repo/tools/ops_scale.py", "run", corpus, str(cpus),
+                 *only],
+                capture_output=True, text=True, check=True, timeout=3600,
+            )
+            line = [
+                ln for ln in out.stdout.strip().splitlines()
+                if ln.startswith('{"metric"')
+            ][-1]
+            res = json.loads(line)["ops"]
+            for op, r in res.items():
+                key = (op, cpus)
+                walls[key] = min(walls.get(key, 1e18), r["wall_s"])
+            print(f"rep {rep} local[{cpus}]: "
+                  + ", ".join(f"{op}={r['wall_s']}s" for op, r in res.items()),
+                  flush=True)
+    report = {}
+    for op in only:
+        t_lo, t_hi = walls[(op, lo)], walls[(op, hi)]
+        report[op] = {
+            f"wall_s_local{lo}": t_lo,
+            f"wall_s_local{hi}": t_hi,
+            "efficiency": round((t_lo / t_hi) / (hi / lo), 3),
+        }
+    print(json.dumps({"metric": "ops_scale_pair", "corpus": corpus,
+                      "pair": f"{lo}->{hi}", "reps": reps, "ops": report}))
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1]
     if cmd == "prepare":
@@ -209,5 +254,8 @@ if __name__ == "__main__":
     elif cmd == "run":
         cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 32
         run(sys.argv[2], cpus, set(sys.argv[4:]))
+    elif cmd == "pair":
+        lo, hi = (int(x) for x in sys.argv[3].split("-"))
+        pair(sys.argv[2], lo, hi, int(sys.argv[4]), sys.argv[5:])
     else:
         raise SystemExit(f"unknown command {cmd}")
