@@ -257,41 +257,36 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # 4. SimHash
 # --------------------------------------------------------------------------
-def _plane_lits():
-    return F.array(
+def _simhash(dg: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 32-bit simhash over the gram-id set.
+
+    All 32 plane-parity contributions (+-1) are evaluated as 32 codegen'd
+    sum columns on the (doc_id, gid) rows directly — no 32x plane explode,
+    and ONE map-side-combinable shuffle keyed by doc_id instead of two.
+    (The exploded two-shuffle form materialized ~2.5B intermediate rows at
+    2M docs and scaled 4->16 at only 0.597 — pure DRAM traffic; the same
+    math in registers is what survives a 100x corpus.)"""
+    sums = dg.groupBy("doc_id").agg(
         *[
-            F.struct(
-                F.lit(j).alias("j"),
-                F.lit(_SA[j]).alias("a"),
-                F.lit(_SB[j]).alias("b"),
-                F.lit(1 << j).alias("pw"),
-            )
+            F.sum(
+                F.when(
+                    F.pmod(
+                        F.lit(_SA[j]) * F.col("gid") + F.lit(_SB[j]), F.lit(_M)
+                    )
+                    % 2
+                    == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"t{j}")
             for j in range(N_BITS)
         ]
     )
-
-
-def _simhash(dg: DataFrame) -> DataFrame:
-    """(doc_id, simhash): 32-bit simhash over the gram-id set."""
-    contrib = dg.select(
-        "doc_id", "gid", F.explode(_plane_lits()).alias("p")
-    ).select(
-        "doc_id",
-        F.col("p.j").alias("j"),
-        F.col("p.pw").alias("pw"),
-        F.when(
-            F.pmod(F.col("p.a") * F.col("gid") + F.col("p.b"), F.lit(_M)) % 2 == 1,
-            F.lit(1),
-        )
-        .otherwise(F.lit(-1))
-        .alias("s"),
-    )
-    bits = contrib.groupBy("doc_id", "j", "pw").agg(F.sum("s").alias("t"))
-    return bits.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("t") > 0, F.col("pw")).otherwise(F.lit(0)))
-        .cast("long")
-        .alias("simhash")
-    )
+    simhash = F.lit(0).cast("long")
+    for j in range(N_BITS):
+        simhash = simhash + F.when(
+            F.col(f"t{j}") > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return sums.select("doc_id", simhash.alias("simhash"))
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
