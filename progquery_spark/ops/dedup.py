@@ -86,7 +86,21 @@ def _doc_gids(docs: DataFrame) -> DataFrame:
 
 
 def _pair_jaccard_pm(pairs: DataFrame, dg: DataFrame) -> DataFrame:
-    """Attach integer per-mille Jaccard to candidate (doc_a, doc_b) pairs."""
+    """Attach integer per-mille Jaccard to candidate (doc_a, doc_b) pairs.
+
+    ``dg`` is first semi-joined down to documents that actually appear in
+    a candidate pair: verification touches O(pairs) documents, not the
+    corpus, so the full gram index (corpus-cardinality) must not be
+    shuffled for it. Per-document values (sizes, gram sets) are unchanged
+    by whole-document filtering, so results are identical — but at 2M
+    docs / 100k candidate pairs this turns two ~80M-row shuffles into
+    ~8M-row ones behind a broadcast semi-join."""
+    in_pairs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    dg = dg.join(in_pairs, "doc_id", "left_semi")
     sizes = dg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = dg.select(F.col("doc_id").alias("doc_a"), "gid")
     b = dg.select(F.col("doc_id").alias("_db"), F.col("gid").alias("gid_b"))
@@ -170,41 +184,43 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # 3. MinHash + LSH
 # --------------------------------------------------------------------------
-def _perm_lits():
-    return F.array(
+def _lsh_buckets(dg: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key, bucket_n): per-doc band keys with bucket
+    sizes attached (one window over the banding shuffle).
+
+    All 16 permutation minima are computed as codegen'd min columns on
+    the (doc_id, gid) rows directly — the same no-explode discipline as
+    ``_simhash``: the previous perm-explode materialized a 16x row
+    blow-up of the gram index through two aggregation shuffles; this is
+    ONE map-side-combinable shuffle keyed by doc_id, after which banding
+    is an 8-wide explode of one row per document (corpus-cardinality,
+    not gram-cardinality)."""
+    sig = dg.groupBy("doc_id").agg(
         *[
-            F.struct(
-                F.lit(i).alias("i"), F.lit(_A[i]).alias("a"), F.lit(_B[i]).alias("b")
-            )
+            F.min(
+                F.pmod(F.lit(_A[i]) * F.col("gid") + F.lit(_B[i]), F.lit(_M))
+            ).alias(f"v{i}")
             for i in range(N_PERM)
         ]
     )
-
-
-def _lsh_buckets(dg: DataFrame) -> DataFrame:
-    """(doc_id, band, band_key, bucket_n): per-doc band keys with bucket
-    sizes attached (one window over the banding shuffle)."""
-    sig = (
-        dg.select("doc_id", "gid", F.explode(_perm_lits()).alias("p"))
-        .select(
-            "doc_id",
-            F.col("p.i").alias("i"),
-            F.pmod(F.col("p.a") * F.col("gid") + F.col("p.b"), F.lit(_M)).alias("h"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("v"))
-    )
     rows_per_band = N_PERM // N_BANDS
-    buckets = (
-        sig.withColumn("band", F.expr(f"i DIV {rows_per_band}"))
-        .groupBy("doc_id", "band")
-        .agg(
-            (
-                F.max(F.when(F.col("i") % 2 == 0, F.col("v"))) * _M
-                + F.max(F.when(F.col("i") % 2 == 1, F.col("v")))
-            ).alias("band_key")
-        )
-    )
+    buckets = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        (
+                            F.col(f"v{rows_per_band * k}") * _M
+                            + F.col(f"v{rows_per_band * k + 1}")
+                        ).alias("band_key"),
+                    )
+                    for k in range(N_BANDS)
+                ]
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.band").alias("band"), F.col("p.band_key").alias("band_key"))
     w = Window.partitionBy("band", "band_key")
     return buckets.withColumn("bucket_n", F.count(F.lit(1)).over(w))
 
