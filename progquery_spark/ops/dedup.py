@@ -94,7 +94,14 @@ def _pair_jaccard_pm(pairs: DataFrame, dg: DataFrame) -> DataFrame:
     shuffled for it. Per-document values (sizes, gram sets) are unchanged
     by whole-document filtering, so results are identical — but at 2M
     docs / 100k candidate pairs this turns two ~80M-row shuffles into
-    ~8M-row ones behind a broadcast semi-join."""
+    ~8M-row ones behind a broadcast semi-join.
+
+    The pair set is lazily localCheckpointed first: it feeds THREE
+    consumers (the semi-join filter and both verify sides), and without
+    materialization each reference would re-run the whole candidate-
+    generation subtree (banding + self-join). Pairs are cap-bounded and
+    tiny relative to the corpus, so checkpoint cost is O(candidates)."""
+    pairs = pairs.localCheckpoint(eager=False)
     in_pairs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
