@@ -371,6 +371,15 @@ def q_dedup_embedding_lsh(
         .select("vec_a", "vec_b")
         .distinct()
     )
+    # NOTE: no verify-side semi-join pruning here, deliberately — the
+    # economics are inverted vs ops.dedup._pair_jaccard_pm. There the
+    # candidate set is corpus-small (caps keep it ~1e5 at 2M docs) and the
+    # gram index is corpus-large, so pruning the big side behind the tiny
+    # one pays 45%. Here the candidate set is the BIG side (sized by
+    # bucket occupancy, ~1e7 at 2M vectors / bits=20) and the vector
+    # table is the small one; measured at 2M, checkpoint + distinct over
+    # the candidates cost 190.7 -> 286.8 s. Shuffling the narrow vector
+    # table on both join keys is the cheap plan.
     va = v.select(
         F.col("vec_id").alias("vec_a"), F.col("q").alias("q_a"), F.col("n2").alias("n2_a")
     )

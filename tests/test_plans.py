@@ -136,3 +136,31 @@ def test_transcript_scan_column_pruning(spark, tmp_path):
     assert "ReadSchema" in plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "text" not in read_schema, read_schema
+
+
+def test_no_perm_explode_in_signature_plans(spark):
+    """Signature computation must not explode the gram index across
+    permutations/planes (16x/32x row blow-up through two shuffles): the
+    minima/parities are codegen'd aggregate columns, so the simhash plan
+    has NO generator at all, and the minhash gram frame reaches its
+    signature aggregate with exactly one Exchange keyed by doc_id. The
+    only explodes allowed in the minhash plan operate on per-document
+    rows (gram generation upstream, banding downstream)."""
+    import re
+
+    from progquery_spark.ops.dedup import _doc_gids, _docs, _lsh_buckets, _simhash
+
+    def nodes(plan, name):
+        return len(re.findall(rf"^\(\d+\) {name}\b", plan, re.M))
+
+    dg = _doc_gids(_docs(spark, "/root/testdata/sf0.001"))
+
+    sim_plan = _plan(_simhash(dg).groupBy().count())
+    # gram generation itself is one explode; nothing else may generate
+    assert nodes(sim_plan, "Generate") <= 1, sim_plan
+
+    sig_plan = _plan(_lsh_buckets(dg))
+    # aggregate shuffle (doc_id) + banding window shuffle (band, band_key)
+    assert nodes(sig_plan, "Exchange") <= 2, sig_plan
+    # gram generation + the 8-wide banding explode over per-doc rows
+    assert nodes(sig_plan, "Generate") <= 2, sig_plan
