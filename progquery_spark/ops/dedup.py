@@ -96,12 +96,12 @@ def _pair_jaccard_pm(pairs: DataFrame, dg: DataFrame) -> DataFrame:
     docs / 100k candidate pairs this turns two ~80M-row shuffles into
     ~8M-row ones behind a broadcast semi-join.
 
-    The pair set is lazily localCheckpointed first: it feeds THREE
-    consumers (the semi-join filter and both verify sides), and without
-    materialization each reference would re-run the whole candidate-
-    generation subtree (banding + self-join). Pairs are cap-bounded and
-    tiny relative to the corpus, so checkpoint cost is O(candidates)."""
-    pairs = pairs.localCheckpoint(eager=False)
+    The pair set feeds THREE consumers (the semi-join filter and both
+    verify sides) but is NOT checkpointed: every ``pairs`` lineage ends in
+    a shuffle (the candidates' ``distinct``), so Spark's ReusedExchange
+    dedupes the subtree across all three references — measured at 2M docs
+    a localCheckpoint here was wall-neutral (103.8 vs 106.8 s) while
+    adding a materialization barrier and ~0.5 s of gate-scale latency."""
     in_pairs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
