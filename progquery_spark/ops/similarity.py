@@ -485,6 +485,14 @@ def queries():
     return {
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        # The corpus-scale key-space widths (bits=16/20) are deliberately
+        # NOT gated: at sf0.01 they emit 0 rows (fixture near-dups sit at
+        # wider angles than 2^-bits collision probability reaches), and a
+        # 0-row certificate is noise. The knob's evidence lives in the 2M
+        # planted-recall harness (tools/ops_scale.py: 50,000/50,000 at
+        # bits=20) and tests/test_ops.py's subset+recall invariant; the
+        # oracle builder is parameterized (_elsh_sql) so a future corpus
+        # with tighter fixtures can gate a wide width directly.
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
@@ -605,11 +613,11 @@ ecand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
                AND a.vec_id < b.vec_id)"""
 
 
-def oracles():
-    return {
-        "dedup_embedding_lsh": f"""
+def _elsh_sql(n_bands: int = E_BANDS, bits: int = E_BITS) -> str:
+    """Full hyperplane-LSH near-dup oracle at a given (n_bands, bits)."""
+    return f"""
         WITH {_base_ctes()},
-        {_eplane_lsh_ctes()},
+        {_eplane_lsh_ctes(n_bands, bits)},
         dots AS (
           SELECT c.vec_a, c.vec_b, SUM(ea.qe * eb.qe) AS dot
           FROM ecand c
@@ -619,7 +627,12 @@ def oracles():
         SELECT vec_a, vec_b, {_cos_sql('dot', 'na.n2', 'nb.n2')} AS cos_pm
         FROM dots JOIN nrm na ON na.vec_id = vec_a JOIN nrm nb ON nb.vec_id = vec_b
         WHERE {_cos_sql('dot', 'na.n2', 'nb.n2')} >= {NEAR_DUP_COS}
-        """,
+        """
+
+
+def oracles():
+    return {
+        "dedup_embedding_lsh": _elsh_sql(),
         "dedup_embedding": f"""
         WITH {_qvec_ctes()},
         dots AS (
