@@ -60,6 +60,43 @@ def read_stage(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def iceberg_merge_statements(
+    table: str, staging_view: str, key: str = "conv_id"
+) -> list[str]:
+    """The C4 replace-by-conversation merge as executable Iceberg SQL —
+    the statements ``Pipeline.merge_new_conversations`` runs when the
+    warehouse is an Iceberg catalog (reference semantics:
+    CompilationScheduler MERGING_ALLOWED re-attach + re-declaration
+    replacement, CompilationScheduler.java:33,47-60,
+    DefinitionCache.java:40-54).
+
+    Deliberately NOT a row-level ``MERGE INTO`` and NOT dynamic partition
+    overwrite, although both look tempting:
+    - a re-compiled conversation carries MANY rows per key on both sides,
+      and SQL MERGE raises on a source row matching multiple target rows
+      (and vice versa the update semantics are undefined) — conversation
+      replacement is a GROUP-level operation;
+    - dynamic partition overwrite on the ``bucket(conv_id)`` layout would
+      clobber unrelated conversations that hash into the same bucket.
+    The correct form is a keyed delete then an append — two Iceberg
+    snapshots. Atomicity across the pair comes from the pipeline
+    manifest: the merge stage is marked done only after both commit, and
+    the PAIR is a fixpoint under re-run (tested) — a crash between the
+    snapshots resumes by re-running the whole pair, never the append
+    alone.
+
+    No Iceberg jars exist in this sandbox, so the statements cannot be
+    executed against a real catalog here; their SEMANTICS are pinned by
+    tests/test_pipeline.py::test_iceberg_merge_statements_semantics,
+    which executes them in DuckDB and asserts equality with the parquet
+    path's anti-join + union."""
+    return [
+        f"DELETE FROM {table} WHERE {key} IN "
+        f"(SELECT DISTINCT {key} FROM {staging_view})",
+        f"INSERT INTO {table} SELECT * FROM {staging_view}",
+    ]
+
+
 class Manifest:
     """``_pipeline_state`` manifest: stage name -> {rows, wall_ms, at}."""
 

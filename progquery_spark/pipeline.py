@@ -271,7 +271,10 @@ class Pipeline:
           saving);
         - conversations re-appearing in the batch REPLACE their old rows
           (anti-join on conv_id), new ones append — on Iceberg this is
-          ``MERGE INTO``/dynamic partition overwrite on bucket(conv_id);
+          the keyed delete + append pair built by
+          ``io.sinks.iceberg_merge_statements`` (NOT row-level MERGE
+          INTO, which raises on multi-row key matches, and NOT dynamic
+          partition overwrite, which clobbers co-bucketed conversations);
           the parquet warehouse re-commits the merged snapshot atomically
           (rename-as-commit), the sandbox stand-in for that;
         - global passes (linking onward) recompute from the merged

@@ -129,3 +129,57 @@ def test_salted_agg_equivalence(spark):
     }
     assert salted == plain
     assert autotuned == plain
+
+
+def test_iceberg_merge_statements_semantics():
+    """S5: the Iceberg C4 merge is a keyed delete + append
+    (io.sinks.iceberg_merge_statements). No Iceberg jars exist here, so
+    execute the SAME statements in DuckDB (ANSI row semantics shared with
+    Iceberg-on-Spark) and assert equality with the parquet path's
+    anti-join + union on a batch that both REPLACES an existing
+    conversation (different row count) and APPENDS a new one."""
+    import duckdb
+
+    from progquery_spark.io.sinks import iceberg_merge_statements
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE warehouse(conv_id VARCHAR, turn_idx INT, text VARCHAR)"
+    )
+    con.execute(
+        "INSERT INTO warehouse VALUES"
+        " ('c1', 0, 'old a'), ('c1', 1, 'old b'), ('c1', 2, 'old c'),"
+        " ('c2', 0, 'keep a'), ('c2', 1, 'keep b')"
+    )
+    con.execute("CREATE TABLE staging(conv_id VARCHAR, turn_idx INT, text VARCHAR)")
+    con.execute(
+        "INSERT INTO staging VALUES"
+        " ('c1', 0, 'new a'), ('c1', 1, 'new b'),"  # re-compile: 3 rows -> 2
+        " ('c3', 0, 'add a')"  # brand-new conversation
+    )
+    # the parquet path's semantics: anti-join on conv_id, then union
+    expected = con.execute(
+        """
+        SELECT * FROM warehouse
+        WHERE conv_id NOT IN (SELECT DISTINCT conv_id FROM staging)
+        UNION ALL SELECT * FROM staging
+        ORDER BY conv_id, turn_idx
+        """
+    ).fetchall()
+    for stmt in iceberg_merge_statements("warehouse", "staging"):
+        con.execute(stmt)
+    merged = con.execute(
+        "SELECT * FROM warehouse ORDER BY conv_id, turn_idx"
+    ).fetchall()
+    assert merged == expected
+    assert ("c2", 0, "keep a") in merged  # untouched conversation survives
+    assert len([r for r in merged if r[0] == "c1"]) == 2  # replaced, not merged
+    # idempotence under re-run (the crash-between-snapshots resume story):
+    # re-running the DELETE alone removes the just-inserted rows, so resume
+    # must re-run the PAIR — verify the pair is a fixpoint
+    for stmt in iceberg_merge_statements("warehouse", "staging"):
+        con.execute(stmt)
+    assert (
+        con.execute("SELECT * FROM warehouse ORDER BY conv_id, turn_idx").fetchall()
+        == expected
+    )
