@@ -146,11 +146,18 @@ def prepare(out_dir: str, n_docs: int, n_vecs: int) -> None:
 
 
 def _timed(name, mk, results):
-    # time construction + count: some operators do eager driver-side work
-    # while building the frame (the CC loop, codebook training)
+    # Time construction + a noop-sink write: some operators do eager
+    # driver-side work while building the frame (the CC loop, codebook
+    # training), and a bare .count() lets Catalyst PRUNE every computed
+    # column on projection-only ops — measured: text_tokens "ran" in 5.4 s
+    # on 4 pinned cores at 2M docs because the regexp never executed; the
+    # noop sink forces full evaluation of every output column. The row
+    # count is taken separately, untimed.
     t0 = time.time()
-    n = mk().count()
+    df = mk()
+    df.write.format("noop").mode("overwrite").save()
     dt = round(time.time() - t0, 1)
+    n = df.count()
     results[name] = {"rows": n, "wall_s": dt}
     print(f"  {name}: {n} rows in {dt}s", flush=True)
 
