@@ -183,6 +183,8 @@ def run(corpus: str, cpus: int, only: set[str]) -> None:
     results: dict[str, dict] = {}
     ops = {
         "text_tokens": lambda: text.q_text_tokens(spark, corpus),
+        "text_quality": lambda: text.q_text_quality(spark, corpus),
+        "text_langid": lambda: text.q_text_langid(spark, corpus),
         "text_fingerprint": lambda: text.q_text_fingerprint(spark, corpus),
         "dedup_exact": lambda: dedup.q_dedup_exact(spark, corpus),
         "dedup_ngram_jaccard": lambda: dedup.q_dedup_ngram_jaccard(spark, corpus),
