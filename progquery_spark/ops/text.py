@@ -39,6 +39,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts.
+
+    ``regexp_count`` is the measured-best form for the BPE leg despite
+    its per-row String/Matcher allocation (13.0 of 16.4 s at 2M docs /
+    32 cores, 4->16 scaling 0.30 in one shared local-mode JVM — see
+    BENCH/BASELINE.md). The obvious "fix" — a regex-free char-class
+    transition count via the ``ascii(substr(col, i, 1))`` HOF shape that
+    serves ``poly_hash`` so well — was tried and REVERTED: Spark's
+    UTF8String substr seeks character i by scanning from the string
+    start (multibyte-aware), so the per-char pass is O(len^2) per
+    document; fine for ~15-char entity names, 15x SLOWER than the regex
+    (252 vs 16.4 s at 2M) on ~300-char documents."""
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
@@ -99,7 +111,16 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling polynomial hash h <- (h*131 + charcode) mod (2^31-1) over the
     full text — deterministic content fingerprint (order-sensitive, unlike
-    a token-set hash). Sequential fold in both engines."""
+    a token-set hash). Sequential fold in both engines.
+
+    Scale bound: ``substr(text, i, 1)`` seeks char i from the string
+    start (multibyte-aware UTF8String), so the fold is O(len^2) per
+    document — measured fine at transcript-derived ~300-char docs
+    (19.2 s / 2M docs / 32 cores, 4->16 scaling 0.93) but wrong for
+    book-length documents; there the same field arithmetic belongs in an
+    Arrow-batched numpy pass (the ops.multimodal pattern: one
+    np.frombuffer view, vectorized Horner fold), worth it only once doc
+    length outgrows the codegen form."""
     d = _docs(spark, sf_dir)
     codes = F.transform(
         F.sequence(F.lit(1), F.length("text")),
