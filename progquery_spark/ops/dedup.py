@@ -60,16 +60,26 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared gram/vocab plumbing (Spark side)
 # --------------------------------------------------------------------------
 def _grams(docs: DataFrame) -> DataFrame:
-    """(doc_id, g): distinct token 2-grams per document."""
+    """(doc_id, g): distinct token 2-grams per document.
+
+    A document with fewer than two tokens has NO 2-grams (it simply
+    never enters the pair ops — matching the DuckDB oracle, whose
+    ``range(1, len(ts))`` is empty then). The explicit guard matters:
+    ``F.sequence(1, 0)`` is a DESCENDING [1, 0] in Spark, so without it
+    every single-token or empty document crashed the whole dedup family
+    with INVALID_ARRAY_INDEX_IN_ELEMENT_AT (regression-tested)."""
     ts = F.split("text", " ")
-    gram_arr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(ts) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(ts, i), F.element_at(ts, i + 1)
-            ),
-        )
-    )
+    gram_arr = F.when(
+        F.size(ts) >= 2,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(ts, i), F.element_at(ts, i + 1)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return docs.select("doc_id", F.explode(gram_arr).alias("g"))
 
 

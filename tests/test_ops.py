@@ -378,3 +378,42 @@ def test_multiprobe_recall_at_least_single_probe(spark):
         for r in similarity.q_ann_ivf_multiprobe(spark, SF).collect()
     }
     assert len(multi & truth) >= len(single & truth)
+
+
+def test_dedup_family_survives_degenerate_documents(spark, tmp_path):
+    """Single-token, empty, and whitespace-only documents must produce
+    zero 2-grams (matching the oracle's empty range) — not crash.
+    Regression: F.sequence(1, size-1) is a DESCENDING [1, 0] when a doc
+    has one token, and element_at(ts, 2) then threw
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT through every gram-based op."""
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "solo", "en", "src0", 4),
+            (2, "", "en", "src0", 0),
+            (3, "   ", "en", "src0", 3),
+            (4, "two words here now five six", "en", "src0", 27),
+            (5, "two words here now five six", "en", "src0", 27),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    path = str(tmp_path / "degenerate")
+    docs.write.parquet(path + "/documents.parquet")
+    # single/empty-token docs contribute no grams (doc 3, whitespace-only,
+    # legitimately yields one degenerate " " gram — in BOTH engines:
+    # string_split turns "   " into four empty tokens)...
+    grams = dedup._grams(spark.read.parquet(path + "/documents.parquet"))
+    assert grams.filter(F.col("doc_id").isin(1, 2)).count() == 0
+    assert grams.filter(F.col("doc_id") == 3).count() == 1
+    # ...and every gram-based pair op runs end-to-end, still finding the
+    # genuine duplicate pair among the well-formed docs
+    assert {(4, 5)} == {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.q_dedup_ngram_jaccard(spark, path).collect()
+    }
+    assert {(4, 5)} == {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.q_dedup_minhash_lsh(spark, path).collect()
+    }
+    assert dedup.q_dedup_simhash_pairs(spark, path).count() >= 1
