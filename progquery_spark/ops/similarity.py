@@ -68,7 +68,14 @@ def _fixed_centroid_rows() -> list[list[int]]:
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, label, q, n2): integer-quantized embeddings."""
+    """(vec_id, label, q, n2): integer-quantized embeddings.
+
+    Vectors whose QUANTIZED norm is zero are excluded at the source:
+    cosine is undefined for them, and under ANSI mode (Spark 4 default,
+    kept on) the n2=0 divisor crashed every similarity op the moment a
+    zero (or sub-quantization-scale) vector appeared in a corpus. The
+    DuckDB oracles carry the same source filter (``_base_ctes``), so
+    exclusion is part of the certified semantics, not a Spark detail."""
     register_sf_views(spark, sf_dir)
     q = F.transform(
         "embedding", lambda x: F.round(x.cast("double") * Q_SCALE).cast("long")
@@ -76,8 +83,10 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = F.aggregate(
         F.transform(q, lambda v: v * v), F.lit(0).cast("long"), lambda a, b: a + b
     )
-    return spark.table("embeddings").select(
-        "vec_id", "label", q.alias("q"), n2.alias("n2")
+    return (
+        spark.table("embeddings")
+        .select("vec_id", "label", q.alias("q"), n2.alias("n2"))
+        .filter(F.col("n2") > 0)
     )
 
 
@@ -546,11 +555,14 @@ cent{t} AS (
 
 def _base_ctes() -> str:
     """qv/ex/nrm: quantized embeddings, exploded components, squared norms —
-    the training-free foundation every similarity oracle shares."""
+    the training-free foundation every similarity oracle shares. qv drops
+    zero-quantized-norm vectors exactly like the Spark ``_quantized``
+    (cosine undefined; ANSI divide-by-zero otherwise)."""
     return f"""
-qv AS (SELECT vec_id, label,
-              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {Q_SCALE}) AS BIGINT)) AS q
-       FROM embeddings),
+qv0 AS (SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {Q_SCALE}) AS BIGINT)) AS q
+        FROM embeddings),
+qv AS (SELECT * FROM qv0 WHERE len(list_filter(q, x -> x <> 0)) > 0),
 ex AS (SELECT vec_id, label, unnest(q) AS qe, generate_subscripts(q, 1) AS pos FROM qv),
 nrm AS (SELECT vec_id, SUM(qe * qe) AS n2 FROM ex GROUP BY vec_id)"""
 

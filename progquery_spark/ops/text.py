@@ -68,12 +68,20 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     alpha_chars = F.length(F.regexp_replace("text", "[^a-z]", ""))
+    # empty documents define alpha_pm = 0 (mirrored in the oracle's CASE):
+    # under ANSI mode the bare ratio is a divide-by-zero crash, not a null
     out = d.select(
         "doc_id",
         F.length("text").alias("n_chars"),
         F.size(toks).alias("n_tokens"),
         stop_hits.alias("stopword_hits"),
-        F.floor(1000 * alpha_chars / F.length("text")).cast("int").alias("alpha_pm"),
+        F.when(
+            F.length("text") > 0,
+            F.floor(1000 * alpha_chars / F.length("text")),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("alpha_pm"),
     )
     return out.withColumn(
         "quality_band",
@@ -160,8 +168,9 @@ def oracles():
                CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
                CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
                                        {stop_list})) AS INT) AS stopword_hits,
-               CAST(floor(1000 * length(regexp_replace(text, '[^a-z]', '', 'g'))
-                          / length(text)) AS INT) AS alpha_pm,
+               CAST(CASE WHEN length(text) = 0 THEN 0
+                         ELSE floor(1000 * length(regexp_replace(text, '[^a-z]', '', 'g'))
+                                    / length(text)) END AS INT) AS alpha_pm,
                CASE WHEN len(string_split(text, ' ')) >= 40
                          AND len(list_intersect(list_distinct(string_split(text, ' ')),
                                                 {stop_list})) >= 2 THEN 'high'

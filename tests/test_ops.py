@@ -417,3 +417,38 @@ def test_dedup_family_survives_degenerate_documents(spark, tmp_path):
         for r in dedup.q_dedup_minhash_lsh(spark, path).collect()
     }
     assert dedup.q_dedup_simhash_pairs(spark, path).count() >= 1
+
+
+def test_ansi_guards_empty_text_and_zero_vectors(spark, tmp_path):
+    """Under ANSI mode (Spark 4 default, kept on) empty documents crashed
+    text_quality (alpha ratio divides by length) and zero-norm vectors
+    crashed every cosine op (sqrt(0) divisor). Both now have defined,
+    oracle-mirrored semantics: alpha_pm = 0 for empty text; zero-
+    quantized-norm vectors are excluded from the similarity ops at the
+    source."""
+    from progquery_spark.ops import similarity, text
+
+    p = str(tmp_path / "edge")
+    spark.createDataFrame(
+        [(1, "", "en", "s", 0), (2, "ok text here", "en", "s", 12)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.parquet(p + "/documents.parquet")
+    dim = similarity.DIM
+    spark.createDataFrame(
+        [
+            (1, [0.0] * dim, 0),  # exactly zero
+            (2, [1.0] * dim, 1),
+            (3, [1.0] * dim, 1),
+            (4, [0.00004] * dim, 0),  # quantizes to zero at Q_SCALE
+        ],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(p + "/embeddings.parquet")
+
+    q = {r["doc_id"]: r["alpha_pm"] for r in text.q_text_quality(spark, p).collect()}
+    assert q[1] == 0 and q[2] > 0
+
+    kept = {r["vec_id"] for r in similarity._quantized(spark, p).collect()}
+    assert kept == {2, 3}
+    pairs = similarity.q_dedup_embedding(spark, p).collect()
+    assert [(r["vec_a"], r["vec_b"], r["cos_pm"]) for r in pairs] == [(2, 3, 100000)]
+    assert similarity.q_ann_topk(spark, p).count() > 0
