@@ -145,6 +145,19 @@ def prepare(out_dir: str, n_docs: int, n_vecs: int) -> None:
     spark.stop()
 
 
+_ELSH_BITS_CACHE: dict[str, int] = {}
+
+
+def _elsh_bits(spark, corpus: str) -> int:
+    """Embedding-LSH key width per the op's own guidance: 2^bits >= n/2."""
+    if corpus not in _ELSH_BITS_CACHE:
+        import math
+
+        n = spark.read.parquet(f"{corpus}/embeddings.parquet").count()
+        _ELSH_BITS_CACHE[corpus] = max(8, math.ceil(math.log2(max(n, 4) / 2)))
+    return _ELSH_BITS_CACHE[corpus]
+
+
 def _timed(name, mk, results):
     # Time construction + a noop-sink write: some operators do eager
     # driver-side work while building the frame (the CC loop, codebook
@@ -193,8 +206,13 @@ def run(corpus: str, cpus: int, only: set[str]) -> None:
         "dedup_simhash_pairs_b16": lambda: dedup.q_dedup_simhash_pairs(
             spark, corpus, band_bits=16
         ),
-        "dedup_embedding_lsh_b20": lambda: similarity.q_dedup_embedding_lsh(
-            spark, corpus, bits=20, threshold=80000
+        # key width from the documented formula 2^bits >= n/2 (bits=20 at
+        # 2M vectors, 22 at 8M) so the knob tracks whatever corpus the
+        # harness is pointed at
+        f"dedup_embedding_lsh_b{_elsh_bits(spark, corpus)}": (
+            lambda: similarity.q_dedup_embedding_lsh(
+                spark, corpus, bits=_elsh_bits(spark, corpus), threshold=80000
+            )
         ),
         "ann_topk": lambda: similarity.q_ann_topk(spark, corpus),
         "ann_ivf_multiprobe": lambda: similarity.q_ann_ivf_multiprobe(spark, corpus),
