@@ -405,6 +405,111 @@ def q_dedup_simhash_pairs(
     )
 
 
+# --------------------------------------------------------------------------
+# 4b. 64-bit SimHash — the >=10M-doc scale path
+# --------------------------------------------------------------------------
+# The 32-bit signature saturates its byte-banding near ~10M docs (measured:
+# at 8M docs / band_bits=16 the average band bucket is ~122 and verified
+# hamming<=3 pairs grow superlinearly, BENCH/BASELINE.md). 64 planes give
+# band_bits=16 FOUR bands of 65,536 keys; hamming threshold scales 4 -> 8.
+# Planes extend the frozen 32-pair pool by the same recipe — a seeded PRNG
+# producing field constants — generated in ONE shared Python function so
+# the DuckDB oracle replays the exact geometry.
+N_BITS64 = 64
+HAM64_MAX = 8
+
+
+def _plane_pairs64() -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(0x51AE64)
+    return [
+        (rng.randrange(1, _M), rng.randrange(0, _M)) for _ in range(N_BITS64)
+    ]
+
+
+def _simhash64(dg: DataFrame) -> DataFrame:
+    """(doc_id, simhash64): same no-explode sum-column form as
+    ``_simhash``; the signature packs via bitwise OR of shifted bits
+    (bit 63 as an addend would overflow a signed long under ANSI)."""
+    pairs = _plane_pairs64()
+    sums = dg.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.pmod(F.lit(a) * F.col("gid") + F.lit(b), F.lit(_M)) % 2
+                    == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"t{j}")
+            for j, (a, b) in enumerate(pairs)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for j in range(N_BITS64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"t{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return sums.select("doc_id", sig.alias("simhash64"))
+
+
+def q_dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash64(_doc_gids(_docs(spark, sf_dir)))
+
+
+def q_dedup_simhash64_pairs(
+    spark: SparkSession, sf_dir: str, *, band_bits: int = 16
+) -> DataFrame:
+    """Near-dup pairs over the 64-bit signature: (64/band_bits) band
+    buckets (capped), hamming(sig_a, sig_b) <= HAM64_MAX verify. Band
+    values extract as an arithmetic shift + mask — identical on signed
+    64-bit in both engines, including the sign-carrying top band."""
+    n_bands = N_BITS64 // band_bits
+    mask = (1 << band_bits) - 1
+    sh = _simhash64(_doc_gids(_docs(spark, sf_dir)))
+    banded = sh.select(
+        "doc_id",
+        "simhash64",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("band"),
+                    F.shiftright("simhash64", band_bits * k)
+                    .bitwiseAND(F.lit(mask).cast("long"))
+                    .alias("bv"),
+                )
+                for k in range(n_bands)
+            ])
+        ).alias("p"),
+    ).select(
+        "doc_id", "simhash64", F.col("p.band").alias("band"), F.col("p.bv").alias("bv")
+    )
+    wb = Window.partitionBy("band", "bv")
+    banded = banded.withColumn("bucket_n", F.count(F.lit(1)).over(wb)).filter(
+        F.col("bucket_n") <= BUCKET_CAP
+    )
+    a = banded.select(
+        "band", "bv", F.col("doc_id").alias("doc_a"), F.col("simhash64").alias("sh_a")
+    )
+    b = banded.select(
+        "band", "bv", F.col("doc_id").alias("doc_b"), F.col("simhash64").alias("sh_b")
+    )
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= HAM64_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def queries():
     return {
         "dedup_lsh_bucket_stats": q_dedup_lsh_bucket_stats,
@@ -417,12 +522,39 @@ def queries():
         "dedup_simhash_pairs_b16": lambda spark, sf_dir: q_dedup_simhash_pairs(
             spark, sf_dir, band_bits=16
         ),
+        "dedup_simhash64": q_dedup_simhash64,
+        "dedup_simhash64_pairs": q_dedup_simhash64_pairs,
     }
 
 
 # --------------------------------------------------------------------------
 # DuckDB oracles — replicate the algorithms step for step
 # --------------------------------------------------------------------------
+def _sig64_ctes() -> str:
+    """64-bit simhash replica: the SAME seeded plane pairs as
+    ``_simhash64`` (shared ``_plane_pairs64``), bit_or-packed. DuckDB
+    overflow-checks ``1::BIGINT << 63``, so the sign bit is the min-long
+    literal; arithmetic shift + mask band extraction was verified to
+    match Spark's shiftright/bitwiseAND on the sign-carrying top band."""
+    vals = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(_plane_pairs64())
+    )
+    min_long = "(CAST(-9223372036854775807 AS BIGINT) - 1)"
+    return f"""{_GRAM_CTES},
+planes64(j, a, b) AS (VALUES {vals}),
+bits64 AS (
+  SELECT doc_id, p.j,
+         SUM(CASE WHEN (p.a * dg.gid + p.b) % {_M} % 2 = 1
+                  THEN 1 ELSE -1 END) AS t
+  FROM dg CROSS JOIN planes64 p GROUP BY doc_id, p.j),
+sig64 AS (
+  SELECT doc_id,
+         bit_or(CASE WHEN t <= 0 THEN CAST(0 AS BIGINT)
+                     WHEN j = 63 THEN {min_long}
+                     ELSE CAST(1 AS BIGINT) << j END) AS simhash64
+  FROM bits64 GROUP BY doc_id)"""
+
+
 _GRAM_CTES = f"""
 toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
 grams AS (
@@ -619,4 +751,23 @@ def oracles():
         """,
         "dedup_simhash_pairs": _simhash_pairs_sql(band_bits=8),
         "dedup_simhash_pairs_b16": _simhash_pairs_sql(band_bits=16),
+        "dedup_simhash64": f"""
+        WITH {_sig64_ctes()}
+        SELECT doc_id, simhash64 FROM sig64
+        """,
+        "dedup_simhash64_pairs": f"""
+        WITH {_sig64_ctes()},
+        b64 AS (
+          SELECT s.doc_id, s.simhash64, k.band,
+                 (s.simhash64 >> (16 * k.band)) & 65535 AS bv
+          FROM sig64 s CROSS JOIN (VALUES (0), (1), (2), (3)) k(band)),
+        bsz AS (SELECT band, bv, COUNT(*) AS bucket_n FROM b64 GROUP BY band, bv),
+        keep AS (SELECT b.* FROM b64 b JOIN bsz s ON s.band = b.band AND s.bv = b.bv
+                 WHERE s.bucket_n <= {BUCKET_CAP})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash64, b.simhash64)) AS INT) AS hamming
+        FROM keep a JOIN keep b
+          ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash64, b.simhash64)) <= {HAM64_MAX}
+        """,
     }

@@ -452,3 +452,25 @@ def test_ansi_guards_empty_text_and_zero_vectors(spark, tmp_path):
     pairs = similarity.q_dedup_embedding(spark, p).collect()
     assert [(r["vec_a"], r["vec_b"], r["cos_pm"]) for r in pairs] == [(2, 3, 100000)]
     assert similarity.q_ann_topk(spark, p).count() > 0
+
+
+def test_simhash64_signature_and_pairs(spark):
+    """The 64-bit simhash variant (the >=10M-doc scale path): signatures
+    are 64-bit, exact-content pairs collide at hamming 0, and the pair
+    set stays within the same verify discipline as the 32-bit op."""
+    import pyspark.sql.functions as F
+
+    sig = dedup.q_dedup_simhash64(spark, SF)
+    assert sig.filter(F.col("simhash64").isNull()).count() == 0
+    # the signature genuinely uses the full 64-bit range (bit 63 set on
+    # roughly half the docs -> negative signed values appear)
+    assert sig.filter(F.col("simhash64") < 0).count() > 0
+    pairs = dedup.q_dedup_simhash64_pairs(spark, SF).collect()
+    assert pairs, "fixture near-dups must collide in at least one band"
+    assert all(0 <= r["hamming"] <= dedup.HAM64_MAX for r in pairs)
+    # NOTE: no cross-variant subset invariant exists — the 64-plane pool
+    # is a different random projection than the 32-plane one, and a
+    # near-dup pair's bits agree or differ per-pool (sign ties), so
+    # hamming-0 under one pool does not imply hamming-0 under the other
+    # in either direction (observed both ways at fixture scale). Exact
+    # semantics are certified by the DuckDB oracle instead.

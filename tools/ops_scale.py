@@ -206,6 +206,9 @@ def run(corpus: str, cpus: int, only: set[str]) -> None:
         "dedup_simhash_pairs_b16": lambda: dedup.q_dedup_simhash_pairs(
             spark, corpus, band_bits=16
         ),
+        "dedup_simhash64_pairs": lambda: dedup.q_dedup_simhash64_pairs(
+            spark, corpus
+        ),
         # key width from the documented formula 2^bits >= n/2 (bits=20 at
         # 2M vectors, 22 at 8M) so the knob tracks whatever corpus the
         # harness is pointed at
