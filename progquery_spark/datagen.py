@@ -165,6 +165,66 @@ def duckdb_transcripts_cte() -> str:
     return f"WITH transcripts AS (\n{transcripts_select('duckdb')}\n)"
 
 
+# --------------------------------------------------------------------------
+# Derived op-gate inputs (duplicate-bearing documents, planted near-dup
+# embeddings). The driver's testdata has no exact duplicates and no
+# tight-angle vector pairs, so the dedup gates would certify over empty
+# work; these views plant the structure DETERMINISTICALLY, in a SQL subset
+# both engines run, so the synthesis itself is part of the certified
+# semantics — and the registered operators stay pure functions of their
+# input table (VERDICT r3 #5: no fixture synthesis inside an operator).
+# --------------------------------------------------------------------------
+
+DOC_CLONE_MOD = 10  # every 10th doc cloned …
+DOC_CLONE_OFFSET = 100_000  # … at doc_id + offset (disjoint id space)
+
+
+def documents_with_dups_select() -> str:
+    """Duplicate-bearing documents view (same text in both dialects)."""
+    return (
+        "SELECT doc_id, text FROM documents "
+        "UNION ALL "
+        f"SELECT doc_id + {DOC_CLONE_OFFSET} AS doc_id, text "
+        f"FROM documents WHERE doc_id % {DOC_CLONE_MOD} = 0"
+    )
+
+
+def build_documents_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_sf_views(spark, sf_dir)
+    return spark.sql(documents_with_dups_select())
+
+
+VEC_PLANT_MOD = 40  # every 40th vector gets a planted near-dup clone …
+VEC_PLANT_OFFSET = 1_000_000  # … at vec_id + offset
+# clone = 1.03*v + 0.01 (per component, double math): the uniform scale
+# preserves direction exactly and the small constant shift tilts it by a
+# tiny angle (cos ≈ 0.999+ for the testdata's vector scale) — the
+# tight-angle planted pair a corpus-scale LSH width must recover
+_VEC_PLANT_EXPR = "CAST(x AS DOUBLE) * 1.03 + 0.01"
+
+
+def embeddings_planted_select(dialect: str) -> str:
+    """Embeddings with planted tight-angle near-dup clones.
+
+    Both branches cast components to DOUBLE explicitly so the UNION has
+    one element type in both engines; the perturbation is two IEEE double
+    ops, bit-identical cross-engine."""
+    lt = "transform" if dialect == "spark" else "list_transform"
+    return (
+        f"SELECT vec_id, label, {lt}(embedding, x -> CAST(x AS DOUBLE)) "
+        "AS embedding FROM embeddings "
+        "UNION ALL "
+        f"SELECT vec_id + {VEC_PLANT_OFFSET} AS vec_id, label, "
+        f"{lt}(embedding, x -> {_VEC_PLANT_EXPR}) AS embedding "
+        f"FROM embeddings WHERE vec_id % {VEC_PLANT_MOD} = 0"
+    )
+
+
+def build_embeddings_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_sf_views(spark, sf_dir)
+    return spark.sql(embeddings_planted_select("spark"))
+
+
 def build_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize the transcripts DataFrame (real ``ts`` timestamp column).
 

@@ -143,26 +143,33 @@ def _pair_jaccard_pm(pairs: DataFrame, dg: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 # 1. exact dedup
 # --------------------------------------------------------------------------
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup by content hash. The input is made duplicate-bearing
-    deterministically (every 10th doc cloned with doc_id+100000 — the
-    testdata has no exact dups); keeper = min doc_id per content group.
+def dedup_exact_frame(docs: DataFrame) -> DataFrame:
+    """Exact dedup by content hash over ANY (doc_id, text) frame; keeper =
+    min doc_id per content group. Pure — no fixture synthesis inside the
+    operator (VERDICT r3 #5); the gated entry feeds it the deterministic
+    duplicate-bearing view from datagen.
 
     The shuffle key is ``xxhash64(text)`` — full document bodies never
     travel as a partition key, and the window input is the narrow
     (doc_id, h) projection. The DuckDB oracle partitions by ``text``
     directly: identical grouping modulo 64-bit hash collisions (none at
     any test SF; a production run would verify within-group equality)."""
-    d = _docs(spark, sf_dir).select("doc_id", "text")
-    clones = d.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
-    )
-    full = d.unionByName(clones).select("doc_id", F.xxhash64("text").alias("h"))
+    full = docs.select("doc_id", F.xxhash64("text").alias("h"))
     keeper = Window.partitionBy("h")
     return full.select(
         "doc_id",
         F.min("doc_id").over(keeper).alias("keeper_id"),
     ).withColumn("is_dup", F.col("doc_id") != F.col("keeper_id"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated entry: exact dedup over the duplicate-bearing documents view
+    (datagen.documents_with_dups_select — the testdata itself has no exact
+    dups, so the clones come from the shared cross-engine synthesis, not
+    from inside the operator)."""
+    from ..datagen import build_documents_with_dups
+
+    return dedup_exact_frame(build_documents_with_dups(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -666,6 +673,19 @@ def _simhash_pairs_sql(band_bits: int) -> str:
         """
 
 
+def _dedup_exact_sql() -> str:
+    """Oracle over the SAME datagen synthesis the Spark entry reads."""
+    from ..datagen import documents_with_dups_select
+
+    return f"""
+        WITH dupful AS ({documents_with_dups_select()})
+        SELECT doc_id,
+               MIN(doc_id) OVER (PARTITION BY text) AS keeper_id,
+               doc_id <> MIN(doc_id) OVER (PARTITION BY text) AS is_dup
+        FROM dupful
+        """
+
+
 def oracles():
     return {
         "dedup_lsh_bucket_stats": f"""
@@ -687,16 +707,7 @@ def oracles():
                MAX(bucket_n) AS max_bucket
         FROM bstats
         """,
-        "dedup_exact": """
-        WITH dupful AS (
-          SELECT doc_id, text FROM documents
-          UNION ALL
-          SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
-        SELECT doc_id,
-               MIN(doc_id) OVER (PARTITION BY text) AS keeper_id,
-               doc_id <> MIN(doc_id) OVER (PARTITION BY text) AS is_dup
-        FROM dupful
-        """,
+        "dedup_exact": _dedup_exact_sql(),
         "dedup_ngram_jaccard": f"""
         WITH {_GRAM_CTES},
         rare AS (SELECT gid FROM dg GROUP BY gid HAVING COUNT(*) <= {POSTING_CAP}),

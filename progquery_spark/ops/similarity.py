@@ -67,7 +67,9 @@ def _fixed_centroid_rows() -> list[list[int]]:
     ]
 
 
-def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _quantized(
+    spark: SparkSession, sf_dir: str, planted: bool = False
+) -> DataFrame:
     """(vec_id, label, q, n2): integer-quantized embeddings.
 
     Vectors whose QUANTIZED norm is zero are excluded at the source:
@@ -75,8 +77,18 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept on) the n2=0 divisor crashed every similarity op the moment a
     zero (or sub-quantization-scale) vector appeared in a corpus. The
     DuckDB oracles carry the same source filter (``_base_ctes``), so
-    exclusion is part of the certified semantics, not a Spark detail."""
-    register_sf_views(spark, sf_dir)
+    exclusion is part of the certified semantics, not a Spark detail.
+
+    ``planted=True`` reads the datagen view with tight-angle planted
+    near-dup clones (cos ≈ 0.997) — the input the corpus-scale LSH width
+    gate runs over (VERDICT r3 #3)."""
+    if planted:
+        from ..datagen import build_embeddings_planted
+
+        src = build_embeddings_planted(spark, sf_dir)
+    else:
+        register_sf_views(spark, sf_dir)
+        src = spark.table("embeddings")
     q = F.transform(
         "embedding", lambda x: F.round(x.cast("double") * Q_SCALE).cast("long")
     )
@@ -84,8 +96,7 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(q, lambda v: v * v), F.lit(0).cast("long"), lambda a, b: a + b
     )
     return (
-        spark.table("embeddings")
-        .select("vec_id", "label", q.alias("q"), n2.alias("n2"))
+        src.select("vec_id", "label", q.alias("q"), n2.alias("n2"))
         .filter(F.col("n2") > 0)
     )
 
@@ -314,6 +325,11 @@ E_BANDS = 8
 E_BITS = 4  # frozen gate default (recall 13/15 vs all-pairs at sf0.01,
 # candidates 2.5% of n^2); at corpus scale pass bits so 2^bits >= ~n/2
 # (avg bucket O(1)) — key space 2^bits per band is the scale knob
+E_BITS_WIDE = 12  # the gated corpus-scale width (VERDICT r3 #3): runs
+# over the datagen planted view (tight-angle clones at cos ≈ 0.997), where
+# 2^12 keys satisfy 2^bits >= n/2 with margin and the planted pairs still
+# collide in >=1 of 8 bands w.p. ~0.9998 — so the scale knob carries a
+# nonzero green CORRECTNESS row instead of resting on the 2M harness alone
 
 
 def _eplane_rows(n_planes: int, dim: int = DIM) -> list[list[int]]:
@@ -356,6 +372,7 @@ def q_dedup_embedding_lsh(
     n_bands: int = E_BANDS,
     bits: int = E_BITS,
     threshold: int = NEAR_DUP_COS,
+    planted: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via hyperplane-band LSH blocking + exact
     integer-cosine verify. Trainless; recall per pair at angle theta is
@@ -364,7 +381,7 @@ def q_dedup_embedding_lsh(
     from .dedup import BUCKET_CAP
 
     planes = _eplane_rows(n_bands * bits)
-    v = _quantized(spark, sf_dir)
+    v = _quantized(spark, sf_dir, planted=planted)
     bk = v.select(
         "vec_id", F.explode(_eband_key_structs(planes, n_bands, bits)).alias("bb")
     ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key"))
@@ -494,14 +511,15 @@ def queries():
     return {
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        # The corpus-scale key-space widths (bits=16/20) are deliberately
-        # NOT gated: at sf0.01 they emit 0 rows (fixture near-dups sit at
-        # wider angles than 2^-bits collision probability reaches), and a
-        # 0-row certificate is noise. The knob's evidence lives in the 2M
-        # planted-recall harness (tools/ops_scale.py: 50,000/50,000 at
-        # bits=20) and tests/test_ops.py's subset+recall invariant; the
-        # oracle builder is parameterized (_elsh_sql) so a future corpus
-        # with tighter fixtures can gate a wide width directly.
+        # The corpus-scale key-space width IS gated (VERDICT r3 #3): at the
+        # raw fixture angles bits>=12 emits 0 rows, so the wide entry runs
+        # over the datagen planted view (tight-angle clones, cos ≈ 0.997)
+        # and certifies nonzero recovered pairs cross-engine. Evidence at
+        # real corpus size stays in the 2M planted-recall harness
+        # (tools/ops_scale.py: 50,000/50,000 at bits=20).
+        "dedup_embedding_lsh_w12": lambda spark, sf_dir: q_dedup_embedding_lsh(
+            spark, sf_dir, bits=E_BITS_WIDE, planted=True
+        ),
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
@@ -553,15 +571,23 @@ cent{t} AS (
     return ",".join(parts)
 
 
-def _base_ctes() -> str:
+def _base_ctes(planted: bool = False) -> str:
     """qv/ex/nrm: quantized embeddings, exploded components, squared norms —
     the training-free foundation every similarity oracle shares. qv drops
     zero-quantized-norm vectors exactly like the Spark ``_quantized``
-    (cosine undefined; ANSI divide-by-zero otherwise)."""
+    (cosine undefined; ANSI divide-by-zero otherwise). ``planted`` swaps
+    the source for the datagen planted-near-dup view, mirroring
+    ``_quantized(planted=True)``."""
+    if planted:
+        from ..datagen import embeddings_planted_select
+
+        source = f"({embeddings_planted_select('duckdb')})"
+    else:
+        source = "embeddings"
     return f"""
 qv0 AS (SELECT vec_id, label,
                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {Q_SCALE}) AS BIGINT)) AS q
-        FROM embeddings),
+        FROM {source}),
 qv AS (SELECT * FROM qv0 WHERE len(list_filter(q, x -> x <> 0)) > 0),
 ex AS (SELECT vec_id, label, unnest(q) AS qe, generate_subscripts(q, 1) AS pos FROM qv),
 nrm AS (SELECT vec_id, SUM(qe * qe) AS n2 FROM ex GROUP BY vec_id)"""
@@ -625,10 +651,12 @@ ecand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
                AND a.vec_id < b.vec_id)"""
 
 
-def _elsh_sql(n_bands: int = E_BANDS, bits: int = E_BITS) -> str:
+def _elsh_sql(
+    n_bands: int = E_BANDS, bits: int = E_BITS, planted: bool = False
+) -> str:
     """Full hyperplane-LSH near-dup oracle at a given (n_bands, bits)."""
     return f"""
-        WITH {_base_ctes()},
+        WITH {_base_ctes(planted)},
         {_eplane_lsh_ctes(n_bands, bits)},
         dots AS (
           SELECT c.vec_a, c.vec_b, SUM(ea.qe * eb.qe) AS dot
@@ -645,6 +673,7 @@ def _elsh_sql(n_bands: int = E_BANDS, bits: int = E_BITS) -> str:
 def oracles():
     return {
         "dedup_embedding_lsh": _elsh_sql(),
+        "dedup_embedding_lsh_w12": _elsh_sql(bits=E_BITS_WIDE, planted=True),
         "dedup_embedding": f"""
         WITH {_qvec_ctes()},
         dots AS (

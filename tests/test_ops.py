@@ -165,6 +165,32 @@ def test_embedding_lsh_subset_of_exact_with_recall(spark):
         assert len(lsh) / len(exact) >= 0.5  # trainless-blocking recall floor
 
 
+def test_embedding_lsh_wide_width_recovers_planted_pairs(spark):
+    """VERDICT r3 #3: the corpus-scale key width (bits=12) runs over the
+    datagen planted view and must recover EVERY planted tight-angle pair
+    (vec_id, vec_id + VEC_PLANT_OFFSET) — the gate's 46th row certifies
+    the same rows cross-engine; this asserts they are the planted ones."""
+    from progquery_spark.datagen import VEC_PLANT_MOD, VEC_PLANT_OFFSET
+
+    out = {
+        (r["vec_a"], r["vec_b"]): r["cos_pm"]
+        for r in similarity.q_dedup_embedding_lsh(
+            spark, SF, bits=similarity.E_BITS_WIDE, planted=True
+        ).collect()
+    }
+    base = similarity._quantized(spark, SF)
+    planted = {
+        (r["vec_id"], r["vec_id"] + VEC_PLANT_OFFSET)
+        for r in base.collect()
+        if r["vec_id"] % VEC_PLANT_MOD == 0
+    }
+    assert planted, "fixture produced no planted pairs"
+    missing = planted - set(out)
+    assert not missing, f"planted pairs not recovered: {sorted(missing)[:5]}"
+    for p in planted:
+        assert out[p] >= 99_000  # cos >= 0.99: genuinely tight-angle
+
+
 def test_simhash_is_32bit(spark):
     out = dedup.q_dedup_simhash(spark, SF)
     import pyspark.sql.functions as F
