@@ -53,25 +53,38 @@ def decode_image(payload: bytes) -> np.ndarray:
     magic = payload[:2]
     if magic in (b"P6", b"P5"):
         # header: magic, whitespace-separated width/height/maxval with
-        # optional '#' comment lines, ONE whitespace byte, then the raster
-        pos, fields = 2, []
-        while len(fields) < 3:
-            while pos < len(payload) and payload[pos : pos + 1].isspace():
-                pos += 1
-            if payload[pos : pos + 1] == b"#":
-                pos = payload.index(b"\n", pos) + 1
-                continue
-            start = pos
-            while pos < len(payload) and not payload[pos : pos + 1].isspace():
-                pos += 1
-            fields.append(int(payload[start:pos]))
-        pos += 1  # the single whitespace after maxval
-        w, h, maxval = fields
-        if maxval > 255:
-            raise NotImplementedError("16-bit PPM/PGM not supported")
-        ch = 3 if magic == b"P6" else 1
-        raster = np.frombuffer(payload, dtype=np.uint8, count=h * w * ch, offset=pos)
-        return raster.reshape((h, w, 3) if ch == 3 else (h, w))
+        # optional '#' comment lines, ONE whitespace byte, then the raster.
+        # Malformed payloads (header truncated mid-field, '#' comment with
+        # no trailing newline, short raster) raise ONE diagnosable
+        # ValueError instead of an opaque int()/index()/frombuffer
+        # traceback — inside mapInPandas a per-row failure kills the whole
+        # task, so the message must say what was wrong (ADVICE r3).
+        try:
+            pos, fields = 2, []
+            while len(fields) < 3:
+                while pos < len(payload) and payload[pos : pos + 1].isspace():
+                    pos += 1
+                if payload[pos : pos + 1] == b"#":
+                    pos = payload.index(b"\n", pos) + 1
+                    continue
+                start = pos
+                while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                    pos += 1
+                fields.append(int(payload[start:pos]))
+            pos += 1  # the single whitespace after maxval
+            w, h, maxval = fields
+            if maxval > 255:
+                raise NotImplementedError("16-bit PPM/PGM not supported")
+            ch = 3 if magic == b"P6" else 1
+            raster = np.frombuffer(
+                payload, dtype=np.uint8, count=h * w * ch, offset=pos
+            )
+            return raster.reshape((h, w, 3) if ch == 3 else (h, w))
+        except (ValueError, IndexError) as e:
+            raise ValueError(
+                f"malformed {magic.decode()} payload "
+                f"({len(payload)} bytes): {e}"
+            ) from e
     raise NotImplementedError(
         "only binary PPM/PGM decode ships here; JPEG/PNG/audio require "
         "PIL/torchaudio — wire them into this branch. The Spark-side "

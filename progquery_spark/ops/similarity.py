@@ -134,17 +134,22 @@ def _assign_frame(ex: DataFrame, cents_df: DataFrame) -> DataFrame:
     )
 
 
-# trained codebook cached per (applicationId, sf_dir) — training is a
-# deterministic function of the embedding table, so every query of a
-# session shares one codebook (and one training run)
-_CB_CACHE: dict[tuple[str, str], list[list[int]]] = {}
+# trained codebook cached per (applicationId, sf_dir, k, sample_mod) —
+# training is a deterministic function of the embedding table + knobs, so
+# every query of a session shares one codebook (and one training run)
+_CB_CACHE: dict[tuple, list[list[int]]] = {}
 
 
-def train_codebook(spark: SparkSession, sf_dir: str) -> list[list[int]]:
+def train_codebook(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = N_CENTROIDS,
+    sample_mod: int = 1,
+) -> list[list[int]]:
     """Deterministic spherical-KMeans training, fully oracle-replicable:
 
-    - seeds: per residue class k, the vector with MIN vec_id among
-      vec_id % K == k (data-dependent, RNG-free, and crucially computable
+    - seeds: per residue class c, the vector with MIN vec_id among
+      vec_id % k == c (data-dependent, RNG-free, and crucially computable
       with ONE narrow aggregation — no global-rank window, which would
       funnel every vec_id through a single partition at 10^9 vectors);
     - _N_ITER Lloyd rounds: assign every vector to its argmax-dot centroid
@@ -152,18 +157,28 @@ def train_codebook(spark: SparkSession, sf_dir: str) -> list[list[int]]:
       members (exact int sums; the one double division is IEEE-identical
       in DuckDB); an empty cluster keeps its previous centroid.
 
-    Each round runs as Spark aggregations; only the K x DIM matrix is
+    Each round runs as Spark aggregations; only the k x DIM matrix is
     collected (the trained-model-to-driver step every IVF deployment has).
-    """
-    key = (spark.sparkContext.applicationId, sf_dir)
+
+    Scale knobs (VERDICT r3 #6):
+    - ``k``: centroid count — pair-blocking wants k ~ n/target_bucket;
+      the gate default stays 8 (the oracle's unrolled CTEs replay k=8).
+    - ``sample_mod``: train on the deterministic sample
+      ``vec_id % sample_mod == 0`` — at 10^9 vectors the Lloyd rounds run
+      over the sample while ASSIGNMENT (the bucketing math) is unchanged
+      and applies to the full set; tested to produce the same
+      argmax-dot/min-k bucketing as an exact numpy replay."""
+    key = (spark.sparkContext.applicationId, sf_dir, k, sample_mod)
     got = _CB_CACHE.get(key)
     if got is not None:
         return got
     v = _quantized(spark, sf_dir)
+    if sample_mod > 1:
+        v = v.filter(F.pmod("vec_id", F.lit(sample_mod)) == 0)
     ex = _exploded(v).localCheckpoint(eager=True)
     seeds = (
         v.select("vec_id")
-        .groupBy(F.pmod("vec_id", F.lit(N_CENTROIDS)).cast("int").alias("k"))
+        .groupBy(F.pmod("vec_id", F.lit(k)).cast("int").alias("k"))
         .agg(F.min("vec_id").alias("vec_id"))
         .join(ex, "vec_id")
         .select("k", "pos", F.col("qe").alias("val"))
@@ -171,7 +186,7 @@ def train_codebook(spark: SparkSession, sf_dir: str) -> list[list[int]]:
     # an empty residue class leaves its centroid at the zero vector —
     # deterministic in both engines (score 0, ties -> smallest k)
     cents = [
-        [0] * DIM for _ in range(N_CENTROIDS)
+        [0] * DIM for _ in range(k)
     ]
     for r in seeds.collect():
         cents[r["k"]][r["pos"] - 1] = int(r["val"])
@@ -209,7 +224,7 @@ def _bucket_expr(qcol, cents: list[list[int]]):
                 F.lit(k).alias("k"),
                 F.array(*[F.lit(v) for v in cents[k]]).alias("c"),
             )
-            for k in range(N_CENTROIDS)
+            for k in range(len(cents))
         ]
     )
 
@@ -236,7 +251,7 @@ def _probe_buckets_expr(qcol, cents: list[list[int]], n_probe: int = N_PROBE):
                 F.lit(k).alias("k"),
                 F.array(*[F.lit(v) for v in cents[k]]).alias("c"),
             )
-            for k in range(N_CENTROIDS)
+            for k in range(len(cents))
         ]
     )
 
@@ -479,12 +494,16 @@ def q_ann_ivf(
     return _topk(pairs)
 
 
-def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_ivf_multiprobe(
+    spark: SparkSession, sf_dir: str, cents: list[list[int]] | None = None
+) -> DataFrame:
     """Multiprobe IVF top-k: each query searches its N_PROBE nearest
     buckets — the standard recall lever when the true neighbor falls just
     across a Voronoi boundary. A candidate lives in exactly one bucket,
-    so probing n buckets cannot duplicate (query, neighbor) pairs."""
-    cents = train_codebook(spark, sf_dir)
+    so probing n buckets cannot duplicate (query, neighbor) pairs.
+    ``cents`` overrides the codebook (e.g. sample-trained / larger-K)."""
+    if cents is None:
+        cents = train_codebook(spark, sf_dir)
     v = _vecs(spark, sf_dir, cents)
     qs = (
         v.filter(F.col("vec_id") < N_QUERIES)

@@ -131,16 +131,26 @@ def _alias_map_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         # hints). A checkpointed frame carries no Catalyst stats, so
         # every downstream join would pay an AQE runtime conversion
         # (measured: q_canonical 9.5 -> ~20 s at sf0.1). The frame is
-        # already materialized, so count() is cheap; hint ONLY when the
-        # estimated bytes (~96/row: two short string keys + overhead)
-        # fit the session broadcast threshold — at billion-entity scale
-        # the gate fails and the joins stay shuffled.
+        # already materialized, so one aggregation over it is cheap; hint
+        # ONLY when the MEASURED bytes — actual key byte lengths plus
+        # ~48 B/row of UnsafeRow + hashed-relation overhead, not a
+        # hardcoded per-row constant (ADVICE r3: long surface keys could
+        # pass a count*96 gate while the real broadcast is far larger) —
+        # fit the session threshold. At billion-entity scale the gate
+        # fails and the joins stay shuffled.
         try:
             thr = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
         except ValueError:  # e.g. "10m" form — be conservative, no hint
             thr = -1
-        if thr > 0 and df.count() * 96 <= thr:
-            df = F.broadcast(df)
+        if thr > 0:
+            est = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.octet_length("norm_key") + F.octet_length("canonical_key")
+                ).alias("key_bytes"),
+            ).collect()[0]
+            if (est["key_bytes"] or 0) + 48 * est["n"] <= thr:
+                df = F.broadcast(df)
         _AMAP_CACHE[key] = df
     return df
 

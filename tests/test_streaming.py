@@ -404,6 +404,49 @@ def test_streaming_checkpoint_recovery_across_restart(spark, tmp_path):
     assert n == len(want), "exactly-once across restart (no duplicate rows)"
 
 
+def test_dead_letter_rows_excluded_from_batch_consumers(spark):
+    """VERDICT r3 #8: when a streaming-drained extraction (which may carry
+    kind='dead_letter' rows for late/context-less turns) is fed to the
+    batch pipeline, mentions_of/triples_of must exclude the dead letters —
+    they filter by kind EQUALITY, so dead letters reach neither linking
+    nor triple canonicalization, while remaining queryable for replay."""
+    import pandas as pd
+
+    from progquery_spark.extraction.extract import (
+        EXTRACTION_SCHEMA,
+        extract,
+        mentions_of,
+        triples_of,
+    )
+    from progquery_spark.fixtures import make_fixture, to_spark
+
+    tr = to_spark(spark, make_fixture(n_convs=3))
+    ex = extract(tr).toPandas()
+    dead = pd.DataFrame(
+        {
+            "kind": "dead_letter",
+            "conv_id": ["conv-zz"] * 2,
+            "turn_idx": [1, 2],
+            "span_start": 0,
+            "span_end": 0,
+        }
+    )
+    for f in EXTRACTION_SCHEMA.fields:
+        if f.name not in dead.columns:
+            dead[f.name] = None
+    drained = spark.createDataFrame(
+        pd.concat([ex, dead[list(ex.columns)]], ignore_index=True),
+        EXTRACTION_SCHEMA,
+    )
+    m = mentions_of(drained).toPandas()
+    t = triples_of(drained).toPandas()
+    assert not (m["conv_id"] == "conv-zz").any()
+    assert not (t["conv_id"] == "conv-zz").any()
+    assert len(m) + len(t) == len(ex)  # nothing else lost
+    # the dead letters stay addressable for replay/repair
+    assert drained.filter("kind = 'dead_letter'").count() == 2
+
+
 def test_streaming_kg_extract_equals_batch(spark, tmp_path):
     """availableNow drain of the stateful streaming extractor emits exactly
     the batch extraction rows (same conversations, same triples)."""

@@ -36,6 +36,7 @@ at 2M vectors leaves avg bucket ~30 and the verify join's shuffle of
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -218,7 +219,20 @@ def run(corpus: str, cpus: int, only: set[str]) -> None:
             )
         ),
         "ann_topk": lambda: similarity.q_ann_topk(spark, corpus),
-        "ann_ivf_multiprobe": lambda: similarity.q_ann_ivf_multiprobe(spark, corpus),
+        # codebook scale knobs (documented in train_codebook): K tracks
+        # n/target_bucket, training runs on the vec_id % SAMPLE
+        # deterministic sample — assignment math is unchanged. Defaults
+        # (K=8, SAMPLE=1) reproduce the gate configuration.
+        "ann_ivf_multiprobe": lambda: similarity.q_ann_ivf_multiprobe(
+            spark,
+            corpus,
+            cents=similarity.train_codebook(
+                spark,
+                corpus,
+                k=int(os.environ.get("OPS_SCALE_IVF_K", "8")),
+                sample_mod=int(os.environ.get("OPS_SCALE_IVF_SAMPLE", "1")),
+            ),
+        ),
     }
     t0 = time.time()
     for name, mk in ops.items():
