@@ -200,6 +200,7 @@ def run(corpus: str, cpus: int, only: set[str]) -> None:
         "text_quality": lambda: text.q_text_quality(spark, corpus),
         "text_langid": lambda: text.q_text_langid(spark, corpus),
         "text_fingerprint": lambda: text.q_text_fingerprint(spark, corpus),
+        "text_fingerprint_long": lambda: text.q_text_fingerprint_long(spark, corpus),
         "dedup_exact": lambda: dedup.q_dedup_exact(spark, corpus),
         "dedup_ngram_jaccard": lambda: dedup.q_dedup_ngram_jaccard(spark, corpus),
         "dedup_minhash_lsh": lambda: dedup.q_dedup_minhash_lsh(spark, corpus),
