@@ -160,6 +160,7 @@ class Pipeline:
         fuzzy: bool = True,
         fuzzy_edges: DataFrame | None = None,
         until: str | None = None,
+        extraction: DataFrame | None = None,
     ) -> dict[str, DataFrame]:
         """Run all stages; returns {stage: DataFrame} of materialized outputs.
 
@@ -170,7 +171,16 @@ class Pipeline:
         ``fuzzy_edges`` optionally unions extra norm<->norm alias edges
         into the CC graph (tests);
         ``until`` stops after materializing the named stage (CLI driver's
-        --until), returning the stages run so far.
+        --until), returning the stages run so far;
+        ``extraction`` seeds the extraction stage from a PRECOMPUTED
+        extraction frame — the S3-listen handoff: a ``--stream`` drain's
+        ``extraction_stream`` feeds the batch global passes without
+        re-running the mapInPandas pass (the reference analog: endAnalysis
+        consumes whatever the per-CU listeners accumulated,
+        CompilationScheduler.java:146-154). ``kind='dead_letter'`` rows
+        ride along in the snapshot (queryable for replay) but reach no
+        downstream stage — mentions_of/triples_of filter by kind equality
+        (tested).
         """
         if until is not None and until not in STAGES:
             raise ValueError(f"unknown stage {until!r}; one of {STAGES}")
@@ -194,7 +204,14 @@ class Pipeline:
         # extraction is partitioned by kind so every downstream consumer of
         # only-mentions or only-triples prunes the other half of the files
         ex = self._stage(
-            "extraction", lambda: extract(tr), resume, partition_by=["kind"]
+            "extraction",
+            lambda: (
+                extraction.select(*[f.name for f in EXTRACTION_SCHEMA.fields])
+                if extraction is not None
+                else extract(tr)
+            ),
+            resume,
+            partition_by=["kind"],
         )
         if _cut("extraction", ex):
             return out

@@ -72,6 +72,15 @@ def build_parser() -> argparse.ArgumentParser:
         "into an EXISTING warehouse (C4 incremental path)",
     )
     ap.add_argument(
+        "--extraction",
+        metavar="PARQUET",
+        help="seed the extraction stage from a precomputed extraction "
+        "parquet — the handoff from --stream mode's "
+        "<warehouse>/extraction_stream into the batch global passes "
+        "(skips the mapInPandas extraction; requires --transcripts or "
+        "--input for the transcript-derived stages)",
+    )
+    ap.add_argument(
         "--stream",
         metavar="TURNS_DIR",
         help="S3 'listen' mode: drain a directory of arriving turn parquet "
@@ -145,12 +154,14 @@ def main(argv: list[str] | None = None) -> int:
         pipe.merge_new_conversations(batch, fuzzy=args.fuzzy)
     else:
         tr = spark.read.parquet(args.transcripts) if args.transcripts else None
+        ex = spark.read.parquet(args.extraction) if args.extraction else None
         pipe.run(
             sf_dir=args.input,
             transcripts=tr,
             resume=args.resume,
             fuzzy=args.fuzzy,
             until=args.until,
+            extraction=ex,
         )
     wall = time.time() - t0
     print(

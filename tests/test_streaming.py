@@ -447,6 +447,41 @@ def test_dead_letter_rows_excluded_from_batch_consumers(spark):
     assert drained.filter("kind = 'dead_letter'").count() == 2
 
 
+def test_pipeline_seeded_from_stream_drain_equals_scratch(spark, tmp_path):
+    """The S3-listen handoff end-to-end: turns drained through the parquet
+    file sink (the --stream path), then the batch pipeline seeded with that
+    extraction (--extraction) must produce stage-for-stage the same
+    canonical triples and edges as a from-scratch run on the same turns."""
+    from progquery_spark.fixtures import make_fixture, to_spark
+    from progquery_spark.pipeline import Pipeline
+    from progquery_spark.streaming.kg_stream import (
+        run_streaming_extract_to_parquet,
+    )
+
+    tr = to_spark(spark, make_fixture(n_convs=5))
+    turns = str(tmp_path / "turns")
+    tr.write.parquet(turns)
+    sink = str(tmp_path / "extraction_stream")
+    run_streaming_extract_to_parquet(
+        spark, turns, str(tmp_path / "ckpt"), sink, idle_timeout_ms=5_000
+    )
+
+    seeded = Pipeline(spark, str(tmp_path / "wh_seeded"), lineage=False).run(
+        transcripts=spark.read.parquet(turns),
+        extraction=spark.read.parquet(sink),
+    )
+    scratch = Pipeline(spark, str(tmp_path / "wh_scratch"), lineage=False).run(
+        transcripts=spark.read.parquet(turns),
+    )
+    for stage, key in (
+        ("triples_canonical", ["conv_id", "turn_idx", "subj", "pred", "obj"]),
+        ("edges", ["src_id", "dst_id", "rel_type", "rel_graph"]),
+    ):
+        a = {tuple(r) for r in seeded[stage].select(*key).collect()}
+        b = {tuple(r) for r in scratch[stage].select(*key).collect()}
+        assert a == b and len(a) > 0, stage
+
+
 def test_streaming_kg_extract_equals_batch(spark, tmp_path):
     """availableNow drain of the stateful streaming extractor emits exactly
     the batch extraction rows (same conversations, same triples)."""
