@@ -147,10 +147,38 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # discipline from ops.multimodal: oversized batches in flight both ways
 # stall the worker socket).
 _OUT_CHUNK = 4096
-# Input re-slice bound for the vectorized fingerprint fold: caps the ~40
-# bytes/char of transient int64 arrays at ~80 MB per worker regardless of
-# document length or Arrow batch sizing (see _fp_long_iter memory bound).
+# Input re-slice bound for the vectorized char-level workers: caps the
+# ~40 bytes/char of transient int64/bool arrays at ~80 MB per worker
+# regardless of document length or Arrow batch sizing (see _fp_long_iter
+# memory bound). Bound in CHARS, not rows: row payloads vary ~100x.
 _CHUNK_CHARS = 2_000_000
+
+
+def _char_slices(pdf: pd.DataFrame):
+    """Re-slice an Arrow batch so each slice holds ~_CHUNK_CHARS of text
+    (at least one row). Shared by every vectorized char-level op."""
+    chars = pdf["text"].fillna("").str.len().to_numpy(np.int64)
+    cum = np.cumsum(chars)
+    start = 0
+    while start < len(pdf):
+        base = cum[start - 1] if start else 0
+        end = int(np.searchsorted(cum, base + _CHUNK_CHARS, side="left")) + 1
+        yield pdf.iloc[start:end]
+        start = end
+
+
+def _codepoints(texts: pd.Series, total: int) -> np.ndarray:
+    """Concatenated per-char codepoint array for a slice. latin-1 gives
+    byte == codepoint (< 256) in one memcpy; wider codepoints fall back to
+    an ord() map — both match the engines' ascii()/regex per-CODEPOINT
+    semantics (UTF-8 byte views would miscount multibyte chars)."""
+    joined = "".join(texts)
+    try:
+        return np.frombuffer(joined.encode("latin-1"), dtype=np.uint8).astype(
+            np.int64
+        )
+    except UnicodeEncodeError:
+        return np.fromiter(map(ord, joined), np.int64, count=total)
 
 _FP_SQL = f"""
 SELECT doc_id,
@@ -199,18 +227,8 @@ def _fp_long_iter(batches):
             factor = pow_tab[m - 1] * 131 % _M
             pow_tab = np.concatenate([pow_tab, pow_tab * factor % _M])
 
-    def char_slices(pdf: pd.DataFrame):
-        chars = pdf["text"].fillna("").str.len().to_numpy(np.int64)
-        cum = np.cumsum(chars)
-        start = 0
-        while start < len(pdf):
-            base = cum[start - 1] if start else 0
-            end = int(np.searchsorted(cum, base + _CHUNK_CHARS, side="left")) + 1
-            yield pdf.iloc[start:end]
-            start = end
-
     for big in batches:
-        for pdf in char_slices(big):
+        for pdf in _char_slices(big):
             nulls = pdf["text"].isna().to_numpy()
             texts = pdf["text"].fillna("")
             lens = texts.str.len().to_numpy(np.int64)
@@ -218,13 +236,7 @@ def _fp_long_iter(batches):
             if total == 0:
                 fp = np.zeros(len(pdf), dtype=np.int64)
             else:
-                joined = "".join(texts)
-                try:
-                    codes = np.frombuffer(
-                        joined.encode("latin-1"), dtype=np.uint8
-                    ).astype(np.int64)
-                except UnicodeEncodeError:
-                    codes = np.fromiter(map(ord, joined), np.int64, count=total)
+                codes = _codepoints(texts, total)
                 grow(int(lens.max()))
                 ends = np.cumsum(lens)
                 starts = ends - lens
@@ -257,9 +269,90 @@ def q_text_fingerprint_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tokens_fast_iter(batches):
+    """mapInPandas worker: the BPE-ish token count as vectorized char-class
+    run detection — the regex-free twin of ``q_text_tokens``.
+
+    ``regexp_count(text, BPE_PAT)`` allocates a String + Matcher per row
+    and re-scans with backtracking alternation: 13.0 of 16.4 s at 2M docs
+    / 32 cores, 4->16 scaling 0.30 (BENCH/BASELINE.md). The pattern is
+    just three char classes, so the count equals
+        (# starts of [A-Za-z]+ runs) + (# starts of [0-9]+ runs)
+      + (# codepoints not in [A-Za-z0-9 ]),
+    computable with boolean masks over the slice's codepoint array: run
+    starts are ``cls & ~prev(cls)`` with the previous-char mask forced
+    False at document boundaries; per-doc totals are prefix-sum diffs.
+    Whitespace tokens are spaces+1 (Spark's size(split(text, ' '))
+    counts empty fields). NULL text -> NULL counts, matching the
+    built-in forms under their null propagation."""
+    for big in batches:
+        for pdf in _char_slices(big):
+            nulls = pdf["text"].isna().to_numpy()
+            texts = pdf["text"].fillna("")
+            lens = texts.str.len().to_numpy(np.int64)
+            total = int(lens.sum())
+            n = len(pdf)
+            if total == 0:
+                n_ws = np.ones(n, dtype=np.int64)
+                n_bpe = np.zeros(n, dtype=np.int64)
+            else:
+                codes = _codepoints(texts, total)
+                ends = np.cumsum(lens)
+                starts = ends - lens
+                alpha = ((codes >= 65) & (codes <= 90)) | (
+                    (codes >= 97) & (codes <= 122)
+                )
+                digit = (codes >= 48) & (codes <= 57)
+                space = codes == 32
+
+                def seg_sum(mask):
+                    cs = np.concatenate([[0], np.cumsum(mask, dtype=np.int64)])
+                    return cs[ends] - cs[starts]
+
+                def run_starts(cls):
+                    prev = np.empty_like(cls)
+                    prev[0] = False
+                    prev[1:] = cls[:-1]
+                    prev[starts[lens > 0]] = False  # runs reset per document
+                    return cls & ~prev
+
+                n_bpe = (
+                    seg_sum(run_starts(alpha))
+                    + seg_sum(run_starts(digit))
+                    + seg_sum(~(alpha | digit | space))
+                )
+                n_ws = seg_sum(space) + 1
+            ws_col = pd.Series(n_ws).astype("Int32")
+            bpe_col = pd.Series(n_bpe).astype("Int32")
+            ws_col[nulls] = pd.NA
+            bpe_col[nulls] = pd.NA
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_ws_tokens": ws_col,
+                    "n_bpe_tokens": bpe_col,
+                }
+            )
+            for i in range(0, len(out), _OUT_CHUNK):
+                yield out.iloc[i : i + _OUT_CHUNK]
+
+
+def q_text_tokens_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized token counting (same oracle as ``text_tokens``): the
+    tokenization pass is THE hot per-document op of a pretraining
+    pipeline, and the regex form's per-row Matcher allocation was the
+    measured bottleneck of the text family (13.0 of 16.4 s at 2M docs).
+    See BENCH/BASELINE.md for the measured 2M-doc comparison."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", "text").mapInPandas(
+        _tokens_fast_iter, "doc_id long, n_ws_tokens int, n_bpe_tokens int"
+    )
+
+
 def queries():
     return {
         "text_tokens": q_text_tokens,
+        "text_tokens_fast": q_text_tokens_fast,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
@@ -273,13 +366,16 @@ def oracles():
     def mk_list(xs):
         return "[" + ", ".join(f"'{x}'" for x in xs) + "]"
 
-    return {
-        "text_tokens": f"""
+    tokens_sql = f"""
         SELECT doc_id,
                CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
                CAST(len(regexp_extract_all(text, '{BPE_PAT}')) AS INT) AS n_bpe_tokens
         FROM documents
-        """,
+        """
+    return {
+        "text_tokens": tokens_sql,
+        # identical semantics, regex-free physical plan — one oracle
+        "text_tokens_fast": tokens_sql,
         "text_quality": f"""
         SELECT doc_id,
                CAST(length(text) AS INT) AS n_chars,

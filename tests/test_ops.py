@@ -370,6 +370,49 @@ def test_fingerprint_long_equals_codegen_form(spark, tmp_path):
     assert a == b and a[4] is None and a[2] == 0
 
 
+def test_tokens_fast_equals_regex_form(spark, tmp_path):
+    """The vectorized token counter must be value-identical to the regex
+    form — on the gate corpus AND on adversarial inputs: empty, NULL,
+    double spaces (empty split fields), leading/trailing runs, digits
+    glued to letters, punctuation clusters, tabs/newlines, non-ASCII."""
+    a = {
+        r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"])
+        for r in text.q_text_tokens(spark, SF).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"])
+        for r in text.q_text_tokens_fast(spark, SF).collect()
+    }
+    assert a == b and len(a) > 0
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, None),
+            (3, "a"),
+            (4, "abc123def 45!"),
+            (5, "  double  spaces  "),
+            (6, "tab\there\nnewline"),
+            (7, "héllo wörld"),
+            (8, "...!!!,,,"),
+            (9, "ends with space "),
+            (10, "UPPER lower 000 111x"),
+        ],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "docs")
+    docs.write.parquet(f"{p}/documents.parquet")
+    a = {
+        r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"])
+        for r in text.q_text_tokens(spark, p).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"])
+        for r in text.q_text_tokens_fast(spark, p).collect()
+    }
+    assert a == b, (a, b)
+
+
 def test_text_quality_bands_partition(spark):
     out = text.q_text_quality(spark, SF)
     import pyspark.sql.functions as F

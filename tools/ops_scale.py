@@ -197,6 +197,7 @@ def run(corpus: str, cpus: int, only: set[str]) -> None:
     results: dict[str, dict] = {}
     ops = {
         "text_tokens": lambda: text.q_text_tokens(spark, corpus),
+        "text_tokens_fast": lambda: text.q_text_tokens_fast(spark, corpus),
         "text_quality": lambda: text.q_text_quality(spark, corpus),
         "text_langid": lambda: text.q_text_langid(spark, corpus),
         "text_fingerprint": lambda: text.q_text_fingerprint(spark, corpus),
