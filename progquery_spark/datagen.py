@@ -175,17 +175,23 @@ def duckdb_transcripts_cte() -> str:
 # input table (VERDICT r3 #5: no fixture synthesis inside an operator).
 # --------------------------------------------------------------------------
 
-DOC_CLONE_MOD = 10  # every 10th doc cloned …
-DOC_CLONE_OFFSET = 100_000  # … at doc_id + offset (disjoint id space)
+DOC_CLONE_MOD = 10  # every 10th doc cloned at doc_id + (max(doc_id) + 1)
 
 
 def documents_with_dups_select() -> str:
-    """Duplicate-bearing documents view (same text in both dialects)."""
+    """Duplicate-bearing documents view (same text in both dialects).
+
+    Clone ids live at ``doc_id + max(doc_id) + 1`` — a CORPUS-RELATIVE
+    offset (cheap: MAX comes from parquet footer stats), because any
+    fixed constant collides with real ids once the corpus outgrows it
+    (code-review finding, round 4: the 2M-doc scale corpus has ids
+    0..2M-1, so a +100000 clone landed on a real document's id and made
+    per-id dedup verdicts ambiguous)."""
     return (
         "SELECT doc_id, text FROM documents "
         "UNION ALL "
-        f"SELECT doc_id + {DOC_CLONE_OFFSET} AS doc_id, text "
-        f"FROM documents WHERE doc_id % {DOC_CLONE_MOD} = 0"
+        "SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id, "
+        f"text FROM documents WHERE doc_id % {DOC_CLONE_MOD} = 0"
     )
 
 
@@ -194,8 +200,8 @@ def build_documents_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(documents_with_dups_select())
 
 
-VEC_PLANT_MOD = 40  # every 40th vector gets a planted near-dup clone …
-VEC_PLANT_OFFSET = 1_000_000  # … at vec_id + offset
+VEC_PLANT_MOD = 40  # every 40th vector gets a planted near-dup clone at
+# vec_id + (max(vec_id) + 1) — corpus-relative like the doc clones
 # clone = 1.03*v + 0.01 (per component, double math): the uniform scale
 # preserves direction exactly and the small constant shift tilts it by a
 # tiny angle (cos ≈ 0.999+ for the testdata's vector scale) — the
@@ -208,14 +214,15 @@ def embeddings_planted_select(dialect: str) -> str:
 
     Both branches cast components to DOUBLE explicitly so the UNION has
     one element type in both engines; the perturbation is two IEEE double
-    ops, bit-identical cross-engine."""
+    ops, bit-identical cross-engine. Clone ids are corpus-relative
+    (max(vec_id) + 1) so they can never collide with real vectors."""
     lt = "transform" if dialect == "spark" else "list_transform"
     return (
         f"SELECT vec_id, label, {lt}(embedding, x -> CAST(x AS DOUBLE)) "
         "AS embedding FROM embeddings "
         "UNION ALL "
-        f"SELECT vec_id + {VEC_PLANT_OFFSET} AS vec_id, label, "
-        f"{lt}(embedding, x -> {_VEC_PLANT_EXPR}) AS embedding "
+        "SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings) AS vec_id, "
+        f"label, {lt}(embedding, x -> {_VEC_PLANT_EXPR}) AS embedding "
         f"FROM embeddings WHERE vec_id % {VEC_PLANT_MOD} = 0"
     )
 

@@ -176,9 +176,21 @@ def train_codebook(
     if sample_mod > 1:
         v = v.filter(F.pmod("vec_id", F.lit(sample_mod)) == 0)
     ex = _exploded(v).localCheckpoint(eager=True)
+    # seed residue classes over the DENSIFIED sample index (vec_id DIV
+    # sample_mod), not raw vec_id: sampled ids are all multiples of
+    # sample_mod, so pmod(vec_id, k) only reaches multiples of
+    # gcd(sample_mod, k) — at the natural knob pairing (S=10, K=100) 90
+    # of 100 residue classes would start as zero-vector centroids and the
+    # codebook would silently collapse ~10x. DIV 1 is the identity, so
+    # the gate configuration (sample_mod=1) is bit-unchanged vs the
+    # oracle's replayed training.
     seeds = (
         v.select("vec_id")
-        .groupBy(F.pmod("vec_id", F.lit(k)).cast("int").alias("k"))
+        .groupBy(
+            F.pmod(F.expr(f"vec_id DIV {sample_mod}"), F.lit(k))
+            .cast("int")
+            .alias("k")
+        )
         .agg(F.min("vec_id").alias("vec_id"))
         .join(ex, "vec_id")
         .select("k", "pos", F.col("qe").alias("val"))

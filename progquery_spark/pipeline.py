@@ -186,6 +186,16 @@ class Pipeline:
             raise ValueError(f"unknown stage {until!r}; one of {STAGES}")
         if not resume:
             self.manifest.reset()
+        if extraction is not None:
+            # the seed is the authoritative extraction: a resumable
+            # warehouse must not silently keep its stale snapshot (and
+            # everything derived from it) while the caller's frame is
+            # dropped on the floor — invalidate extraction + downstream
+            # (manifest only: write_stage's tmp-then-rename overwrites the
+            # dirs atomically, and NOT pre-deleting them keeps a seed that
+            # lazily reads from this very warehouse safe to materialize)
+            for st in STAGES[STAGES.index("extraction"):]:
+                self.manifest.invalidate(st)
         out: dict[str, DataFrame] = {}
 
         def _cut(name: str, df: DataFrame) -> bool:

@@ -123,9 +123,22 @@ def main(argv: list[str] | None = None) -> int:
         # evolution-safe, so a v1 checkpoint must not be resumed (ADVICE r3).
         import os
 
+        from .extraction.extract import EXTRACTION_SCHEMA
         from .streaming.kg_stream import run_streaming_extract_to_parquet
 
         out_path = os.path.join(args.warehouse, "extraction_stream")
+        if os.path.isdir(out_path) and not os.path.isdir(
+            os.path.join(out_path, "_spark_metadata")
+        ):
+            # a pre-file-sink (v1) drain left plain parquet here; the file
+            # sink's _spark_metadata would make metadata-aware reads HIDE
+            # those rows while glob readers double-count — refuse loudly
+            # instead of silently splitting the dataset
+            build_parser().error(
+                f"{out_path} holds parquet from the pre-v2 (driver-rewrite) "
+                "stream path, which the file sink's commit log would shadow. "
+                "Move it aside (it remains valid plain parquet) and re-drain."
+            )
         run_streaming_extract_to_parquet(
             spark,
             args.stream,
@@ -134,8 +147,15 @@ def main(argv: list[str] | None = None) -> int:
             idle_timeout_ms=args.stream_idle_timeout_ms,
         )
         # sink total after the drain (reads honor the sink's
-        # _spark_metadata commit log, so this is the exactly-once row set)
-        n = spark.read.parquet(out_path).count()
+        # _spark_metadata commit log, so this is the exactly-once row set).
+        # Explicit schema + existence guard: a cold-start drain against a
+        # listen dir with no turn files yet commits zero data files, where
+        # schema inference would raise instead of reporting rows_total=0.
+        n = (
+            spark.read.schema(EXTRACTION_SCHEMA).parquet(out_path).count()
+            if os.path.isdir(out_path)
+            else 0
+        )
         print(
             json.dumps(
                 {

@@ -89,6 +89,23 @@ def test_cli_stream_mode(tmp_path):
     assert again["rows_total"] == out["rows_total"]
 
 
+def test_cli_stream_cold_start_empty_dir(tmp_path):
+    """Code-review finding (round 4): a cold-start drain against a listen
+    dir with no turn files yet must report rows_total=0, not crash on
+    schema inference over a sink with zero committed data files."""
+    d = tmp_path / "turns_empty"
+    d.mkdir()
+    out = _run(
+        [
+            "--stream", str(d),
+            "--warehouse", str(tmp_path / "wh"),
+            "--stream-idle-timeout-ms", "2000",
+            "--shuffle-partitions", "4",
+        ]
+    )
+    assert out["mode"] == "stream" and out["rows_total"] == 0
+
+
 def test_cli_stream_path_has_no_memory_sink():
     """VERDICT r3 #1 regression gate: the shipped --stream path must go
     through the parquet file sink; format("memory") (a collect-to-driver)

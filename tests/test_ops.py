@@ -14,14 +14,21 @@ def _pairs(df, a="doc_a", b="doc_b"):
 
 
 def test_dedup_exact_marks_clones(spark):
+    import pyspark.sql.functions as F
+
+    from progquery_spark.session import register_sf_views
+
+    register_sf_views(spark, SF)
+    # clone ids are corpus-relative: doc_id + max(doc_id) + 1
+    off = spark.table("documents").agg(F.max("doc_id")).collect()[0][0] + 1
     out = dedup.q_dedup_exact(spark, SF)
     rows = {r["doc_id"]: (r["keeper_id"], r["is_dup"]) for r in out.collect()}
-    clones = [d for d in rows if d >= 100000]
+    clones = [d for d in rows if d >= off]
     assert clones, "clone construction produced no dups"
     for c in clones:
         keeper, is_dup = rows[c]
-        assert is_dup and keeper == c - 100000
-    originals = [d for d in rows if d < 100000]
+        assert is_dup and keeper == c - off
+    originals = [d for d in rows if d < off]
     assert all(not rows[d][1] for d in originals)
 
 
@@ -170,7 +177,10 @@ def test_embedding_lsh_wide_width_recovers_planted_pairs(spark):
     datagen planted view and must recover EVERY planted tight-angle pair
     (vec_id, vec_id + VEC_PLANT_OFFSET) — the gate's 46th row certifies
     the same rows cross-engine; this asserts they are the planted ones."""
-    from progquery_spark.datagen import VEC_PLANT_MOD, VEC_PLANT_OFFSET
+    import pyspark.sql.functions as F
+
+    from progquery_spark.datagen import VEC_PLANT_MOD
+    from progquery_spark.session import register_sf_views
 
     out = {
         (r["vec_a"], r["vec_b"]): r["cos_pm"]
@@ -178,9 +188,12 @@ def test_embedding_lsh_wide_width_recovers_planted_pairs(spark):
             spark, SF, bits=similarity.E_BITS_WIDE, planted=True
         ).collect()
     }
+    register_sf_views(spark, SF)
+    # planted clone ids are corpus-relative: vec_id + max(vec_id) + 1
+    off = spark.table("embeddings").agg(F.max("vec_id")).collect()[0][0] + 1
     base = similarity._quantized(spark, SF)
     planted = {
-        (r["vec_id"], r["vec_id"] + VEC_PLANT_OFFSET)
+        (r["vec_id"], r["vec_id"] + off)
         for r in base.collect()
         if r["vec_id"] % VEC_PLANT_MOD == 0
     }
@@ -523,6 +536,14 @@ def test_sample_trained_codebook_bucketing_math(spark):
         .count()
     )
     assert 1 < n_buckets <= 12
+
+    # gcd(sample_mod, k) > 1 must NOT degenerate the seeds: sampled ids
+    # are all multiples of sample_mod, so seeding by pmod(vec_id, k)
+    # would only reach residue classes {0, 2} at (S=2, K=4) and leave the
+    # rest zero-vector centroids — the densified-index seeding gives every
+    # class a seed (code-review finding, round 4)
+    cb4 = similarity.train_codebook(spark, SF, k=4, sample_mod=2)
+    assert sum(any(c != 0 for c in row) for row in cb4) == 4
 
 
 def test_multiprobe_recall_at_least_single_probe(spark):

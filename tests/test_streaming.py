@@ -482,6 +482,43 @@ def test_pipeline_seeded_from_stream_drain_equals_scratch(spark, tmp_path):
         assert a == b and len(a) > 0, stage
 
 
+def test_extraction_seed_overrides_resumable_warehouse(spark, tmp_path):
+    """Code-review finding (round 4): with resume=True (the CLI default)
+    and a warehouse whose extraction stage is already recorded done, a
+    passed extraction seed must WIN — not be silently dropped while every
+    downstream stage rebuilds from the stale snapshot."""
+    import pyspark.sql.functions as F
+
+    from progquery_spark.fixtures import make_fixture, to_spark
+    from progquery_spark.pipeline import Pipeline
+
+    tr = to_spark(spark, make_fixture(n_convs=3))
+    wh = str(tmp_path / "wh")
+    first = Pipeline(spark, wh, lineage=False).run(transcripts=tr)
+    cid = first["extraction"].select("conv_id").first()["conv_id"]
+    # seed = the warehouse's own snapshot minus one conversation — also
+    # exercises the self-referential case (seed lazily reads the very
+    # stage dir the run overwrites; tmp-then-rename makes that safe)
+    seed = first["extraction"].filter(F.col("conv_id") != cid)
+    n_seed = seed.count()
+    # count BEFORE the second run replaces the snapshot files the lazy
+    # `first` frames point at
+    n_first_tc = first["triples_canonical"].count()
+    second = Pipeline(spark, wh, lineage=False).run(
+        transcripts=tr, extraction=seed, resume=True
+    )
+    assert second["extraction"].count() == n_seed
+    assert (
+        second["extraction"].filter(F.col("conv_id") == cid).count() == 0
+    )
+    # downstream rebuilt from the seed, not the stale snapshot
+    assert (
+        second["triples_canonical"].filter(F.col("conv_id") == cid).count()
+        == 0
+    )
+    assert second["triples_canonical"].count() < n_first_tc
+
+
 def test_streaming_kg_extract_equals_batch(spark, tmp_path):
     """availableNow drain of the stateful streaming extractor emits exactly
     the batch extraction rows (same conversations, same triples)."""
