@@ -93,11 +93,12 @@ def test_no_cartesian_in_similarity_plans(spark):
     bucket."""
     from progquery_spark.ops.similarity import (
         q_ann_ivf,
+        q_ann_lsh_topk,
         q_dedup_embedding,
         q_dedup_embedding_lsh,
     )
 
-    for q in (q_dedup_embedding, q_ann_ivf, q_dedup_embedding_lsh):
+    for q in (q_dedup_embedding, q_ann_ivf, q_dedup_embedding_lsh, q_ann_lsh_topk):
         plan = _plan(q(spark, "/root/testdata/sf0.001"))
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan

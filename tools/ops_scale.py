@@ -221,6 +221,10 @@ def run(corpus: str, cpus: int, only: set[str]) -> None:
             )
         ),
         "ann_topk": lambda: similarity.q_ann_topk(spark, corpus),
+        # trainless LSH-routed ANN at the corpus-sized key width
+        "ann_lsh_topk": lambda: similarity.q_ann_lsh_topk(
+            spark, corpus, bits=_elsh_bits(spark, corpus)
+        ),
         # codebook scale knobs (documented in train_codebook): K tracks
         # n/target_bucket, training runs on the vec_id % SAMPLE
         # deterministic sample — assignment math is unchanged. Defaults
