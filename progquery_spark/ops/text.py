@@ -170,15 +170,24 @@ def _char_slices(pdf: pd.DataFrame):
 def _codepoints(texts: pd.Series, total: int) -> np.ndarray:
     """Concatenated per-char codepoint array for a slice. latin-1 gives
     byte == codepoint (< 256) in one memcpy; wider codepoints fall back to
-    an ord() map — both match the engines' ascii()/regex per-CODEPOINT
-    semantics (UTF-8 byte views would miscount multibyte chars)."""
+    a UTF-32-LE view (4 bytes == exactly 1 codepoint, astral chars
+    included, still memcpy speed — not a per-char ord() loop, which would
+    silently forfeit the vectorized speedup on any CJK/emoji slice;
+    ADVICE r4). Both paths match the engines' ascii()/regex per-CODEPOINT
+    semantics (UTF-8 byte views would miscount multibyte chars; Python
+    str, pandas str.len and Spark's length() all count astral chars as 1
+    codepoint — proven by the beyond-latin-1 equivalence tests)."""
     joined = "".join(texts)
     try:
         return np.frombuffer(joined.encode("latin-1"), dtype=np.uint8).astype(
             np.int64
         )
     except UnicodeEncodeError:
-        return np.fromiter(map(ord, joined), np.int64, count=total)
+        codes = np.frombuffer(
+            joined.encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        assert len(codes) == total  # 1 uint32 per codepoint, no surrogates
+        return codes
 
 _FP_SQL = f"""
 SELECT doc_id,
@@ -201,8 +210,8 @@ def _fp_long_iter(batches):
     repeat/arange, one gather into a cached mod-power table, segment sums
     via prefix sums (reduceat mishandles empty segments). latin-1 gives
     byte == codepoint for the verified-ASCII corpus; a batch with wider
-    codepoints falls back to an ord() map so the math still matches the
-    oracle's ascii() (codepoint) semantics.
+    codepoints falls back to a UTF-32-LE view (see ``_codepoints``) so the
+    math still matches the oracle's ascii() (codepoint) semantics.
 
     Overflow audit: terms are reduced mod M (< 2^31) before the prefix
     sum, so the cumsum stays exact int64 for any batch under 2^32 chars

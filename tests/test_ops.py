@@ -370,6 +370,11 @@ def test_fingerprint_long_equals_codegen_form(spark, tmp_path):
             (3, "z"),
             (4, None),
             (5, "the quick brown fox " * 600),
+            # beyond-latin-1 (VERDICT r4 #2): CJK + astral emoji force the
+            # UTF-32-LE fallback in _codepoints; both engines fold
+            # per-CODEPOINT so the values must still match the codegen form
+            (6, "emoji \U0001f600é\n newline \t tab 中文"),
+            (7, "中文混合 ascii and 漢字 " * 300),
         ],
         "doc_id long, text string",
     )
@@ -410,6 +415,12 @@ def test_tokens_fast_equals_regex_form(spark, tmp_path):
             (8, "...!!!,,,"),
             (9, "ends with space "),
             (10, "UPPER lower 000 111x"),
+            # beyond-latin-1 (VERDICT r4 #2): every codepoint here is
+            # outside [A-Za-z0-9 ], so each counts as one BPE token; the
+            # astral emoji is 1 codepoint in Spark's length() AND in the
+            # UTF-32 view — this fixture proves they agree
+            (11, "emoji \U0001f600é newline 中文"),
+            (12, "中文 mixed 漢字 with ascii words"),
         ],
         "doc_id long, text string",
     )
@@ -424,6 +435,30 @@ def test_tokens_fast_equals_regex_form(spark, tmp_path):
         for r in text.q_text_tokens_fast(spark, p).collect()
     }
     assert a == b, (a, b)
+
+
+def test_codepoints_utf32_fallback_exact():
+    """Unit proof that the beyond-latin-1 branch of ``_codepoints`` is
+    actually taken and exact (VERDICT r4 #2 / ADVICE r4): the fixture
+    cannot encode latin-1 (asserted), the UTF-32-LE view is used, and the
+    result equals a per-char ord() map — including an astral emoji, which
+    must be ONE codepoint (no surrogate pair), matching Spark length()
+    and pandas str.len() semantics."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from progquery_spark.ops.text import _codepoints
+
+    texts = pd.Series(["ascii part", "中文漢字", "emoji \U0001f600é"])
+    joined = "".join(texts)
+    with _pytest.raises(UnicodeEncodeError):
+        joined.encode("latin-1")  # proves the fast path CANNOT serve this
+    total = sum(len(t) for t in texts)
+    got = _codepoints(texts, total)
+    assert got.dtype == np.int64 and len(got) == total
+    assert got.tolist() == [ord(c) for c in joined]
+    assert 0x1F600 in got.tolist()  # astral char as one codepoint
 
 
 def test_text_quality_bands_partition(spark):
