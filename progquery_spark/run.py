@@ -95,16 +95,41 @@ def build_parser() -> argparse.ArgumentParser:
         default=60_000,
         help="flush latency for conversations that never see a final turn",
     )
+    ap.add_argument(
+        "--count-total",
+        action="store_true",
+        help="with --stream: also report rows_total, a full count over the "
+        "accumulated sink (an audit scan that grows with sink history; the "
+        "default output counts only the rows THIS drain committed)",
+    )
     ap.add_argument("--master", help="spark master (default local[$SPARK_GRAFT_CPUS])")
     ap.add_argument("--shuffle-partitions", type=int)
     return ap
 
 
 def main(argv: list[str] | None = None) -> int:
+    import re
+
     args = build_parser().parse_args(argv)
     if args.merge is None and args.input is None and args.transcripts is None:
         if not args.resume:
             build_parser().error("--input or --transcripts required without --resume")
+    if args.merge is not None and args.extraction is not None:
+        # ADVICE r4: the merge branch would silently drop the seed
+        build_parser().error(
+            "--merge and --extraction are mutually exclusive: --merge "
+            "re-extracts its batch from raw turns (C4), --extraction seeds "
+            "a full run. Merge the drained batch first, or seed a fresh run."
+        )
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", args.warehouse):
+        # ADVICE r4: the warehouse Manifest and the stream sink's
+        # _spark_metadata bookkeeping use local open()/isdir — a remote URI
+        # would silently skip the v1-layout refusal and report 0 rows
+        build_parser().error(
+            "--warehouse must be a local filesystem path (the stage "
+            "manifest and stream-sink commit-log checks read it with local "
+            "file APIs); mount or sync remote warehouses locally."
+        )
 
     spark = get_spark(
         "progquery-run",
@@ -124,7 +149,10 @@ def main(argv: list[str] | None = None) -> int:
         import os
 
         from .extraction.extract import EXTRACTION_SCHEMA
-        from .streaming.kg_stream import run_streaming_extract_to_parquet
+        from .streaming.kg_stream import (
+            run_streaming_extract_to_parquet,
+            sink_committed_files,
+        )
 
         out_path = os.path.join(args.warehouse, "extraction_stream")
         if os.path.isdir(out_path) and not os.path.isdir(
@@ -139,6 +167,7 @@ def main(argv: list[str] | None = None) -> int:
                 "stream path, which the file sink's commit log would shadow. "
                 "Move it aside (it remains valid plain parquet) and re-drain."
             )
+        before = sink_committed_files(out_path)
         run_streaming_extract_to_parquet(
             spark,
             args.stream,
@@ -146,26 +175,33 @@ def main(argv: list[str] | None = None) -> int:
             out_path,
             idle_timeout_ms=args.stream_idle_timeout_ms,
         )
-        # sink total after the drain (reads honor the sink's
-        # _spark_metadata commit log, so this is the exactly-once row set).
-        # Explicit schema + existence guard: a cold-start drain against a
-        # listen dir with no turn files yet commits zero data files, where
-        # schema inference would raise instead of reporting rows_total=0.
-        n = (
-            spark.read.schema(EXTRACTION_SCHEMA).parquet(out_path).count()
-            if os.path.isdir(out_path)
+        # rows THIS drain committed: diff the sink commit log and count
+        # only the new data files — O(this drain), not O(sink history)
+        # (VERDICT r4 #3). Set difference survives log compaction (a
+        # N.compact rewrites old entries; they were in `before`). Explicit
+        # schema: a cold-start drain commits zero files, where schema
+        # inference would raise instead of reporting rows_drained=0.
+        new_files = sorted(sink_committed_files(out_path) - before)
+        n_drained = (
+            spark.read.schema(EXTRACTION_SCHEMA).parquet(*new_files).count()
+            if new_files
             else 0
         )
-        print(
-            json.dumps(
-                {
-                    "mode": "stream",
-                    "rows_total": n,
-                    "out": out_path,
-                    "wall_sec": round(time.time() - t0, 2),
-                }
+        report = {
+            "mode": "stream",
+            "rows_drained": n_drained,
+            "out": out_path,
+            "wall_sec": round(time.time() - t0, 2),
+        }
+        if args.count_total:
+            # audit-only full-sink count (reads honor _spark_metadata, so
+            # this is the exactly-once row set across every drain)
+            report["rows_total"] = (
+                spark.read.schema(EXTRACTION_SCHEMA).parquet(out_path).count()
+                if os.path.isdir(out_path)
+                else 0
             )
-        )
+        print(json.dumps(report))
         spark.stop()
         return 0
     pipe = Pipeline(spark, args.warehouse, lineage=args.lineage)

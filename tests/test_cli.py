@@ -51,9 +51,11 @@ def test_cli_until_and_resume(tmp_path):
 def test_cli_stream_mode(tmp_path):
     """S3 'listen' mode: --stream drains arriving turn files through the
     stateful streaming extractor into a checkpointed parquet FILE sink in
-    the warehouse (VERDICT r3 #1) — and a re-drain of the same input is a
-    no-op (exactly-once per input file via the shared sink commit log /
-    source checkpoint)."""
+    the warehouse (VERDICT r3 #1). The default report counts ONLY the rows
+    this drain committed (VERDICT r4 #3: O(this drain), not O(sink
+    history)); --count-total adds the audit full-sink count. A re-drain of
+    the same input commits nothing (exactly-once per input file via the
+    shared sink commit log / source checkpoint)."""
     import os
     import sys as _sys
 
@@ -78,15 +80,25 @@ def test_cli_stream_mode(tmp_path):
         "--shuffle-partitions", "4",
     ]
     out = _run(args)
-    assert out["mode"] == "stream" and out["rows_total"] > 0
+    assert out["mode"] == "stream" and out["rows_drained"] > 0
+    assert "rows_total" not in out  # the audit scan is opt-in
     assert os.path.isdir(out["out"])
     # the sink is a real checkpointed file sink, not a driver rewrite
     assert os.path.isdir(os.path.join(out["out"], "_spark_metadata"))
     assert os.path.isdir(os.path.join(wh, "_stream_checkpoint_v2"))
 
-    # re-drain: already-committed input files are skipped, no duplicates
+    # re-drain: already-committed input files are skipped, nothing new
     again = _run(args)
-    assert again["rows_total"] == out["rows_total"]
+    assert again["rows_drained"] == 0
+
+    # a NEW file of NEW conversations arrives: the default report counts
+    # only that batch, while --count-total audits the accumulated sink
+    pdf2 = pdf.copy()
+    pdf2["conv_id"] = pdf2["conv_id"] + "-b"
+    pdf2.to_parquet(d / "part1.parquet", index=False)
+    third = _run([*args, "--count-total"])
+    assert third["rows_drained"] == out["rows_drained"]  # same convs, new ids
+    assert third["rows_total"] == 2 * out["rows_drained"]
 
 
 def test_cli_stream_cold_start_empty_dir(tmp_path):
@@ -101,9 +113,11 @@ def test_cli_stream_cold_start_empty_dir(tmp_path):
             "--warehouse", str(tmp_path / "wh"),
             "--stream-idle-timeout-ms", "2000",
             "--shuffle-partitions", "4",
+            "--count-total",
         ]
     )
-    assert out["mode"] == "stream" and out["rows_total"] == 0
+    assert out["mode"] == "stream"
+    assert out["rows_drained"] == 0 and out["rows_total"] == 0
 
 
 def test_cli_stream_path_has_no_memory_sink():
@@ -111,14 +125,19 @@ def test_cli_stream_path_has_no_memory_sink():
     through the parquet file sink; format("memory") (a collect-to-driver)
     is allowed only in the test helper."""
     import pathlib
+    import sys as _sys
 
-    run_src = pathlib.Path("/root/repo/progquery_spark/run.py").read_text()
+    _sys.path.insert(0, "/root/repo")
+    # resolve sources from the imported package, not hardcoded absolute
+    # paths, so the gate checks THIS checkout wherever it lives (ADVICE r4)
+    import progquery_spark.run as _run_mod
+    import progquery_spark.streaming.kg_stream as _ks_mod
+
+    run_src = pathlib.Path(_run_mod.__file__).read_text()
     assert 'format("memory")' not in run_src and "'memory'" not in run_src
     assert "run_streaming_extract_to_parquet" in run_src
 
-    ks_src = pathlib.Path(
-        "/root/repo/progquery_spark/streaming/kg_stream.py"
-    ).read_text()
+    ks_src = pathlib.Path(_ks_mod.__file__).read_text()
     # the parquet drain itself must not reference the memory format
     parquet_fn = ks_src.split("def run_streaming_extract_to_parquet")[1]
     assert 'format("memory")' not in parquet_fn
@@ -184,3 +203,41 @@ def test_cli_requires_input(tmp_path):
     )
     assert out.returncode != 0
     assert "--input or --transcripts" in out.stderr
+
+
+def _expect_parser_error(args, needle):
+    out = subprocess.run(
+        [sys.executable, "-m", "progquery_spark.run", *args],
+        capture_output=True,
+        text=True,
+        timeout=60,
+        cwd="/root/repo",
+    )
+    assert out.returncode != 0
+    assert needle in out.stderr, out.stderr[-2000:]
+
+
+def test_cli_rejects_merge_plus_extraction(tmp_path):
+    """ADVICE r4: --merge used to silently win over --extraction, dropping
+    the user's seed with no warning — now an explicit parser error."""
+    _expect_parser_error(
+        [
+            "--warehouse", str(tmp_path / "wh"),
+            "--merge", str(tmp_path / "batch.parquet"),
+            "--extraction", str(tmp_path / "seed.parquet"),
+        ],
+        "mutually exclusive",
+    )
+
+
+def test_cli_rejects_remote_warehouse_uri(tmp_path):
+    """ADVICE r4: the Manifest and stream-sink commit-log checks use local
+    file APIs; a URI warehouse would silently skip the v1-layout refusal
+    and misreport rows — refuse it loudly."""
+    _expect_parser_error(
+        [
+            "--warehouse", "s3a://bucket/wh",
+            "--input", "/root/testdata/sf0.001",
+        ],
+        "local filesystem path",
+    )
