@@ -44,31 +44,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# LCG-style permutation constants (fixed; generated once from a seeded PRNG
-# and frozen here as literals so every run and every engine agrees).
-# Mersenne prime 2^31-1: keeps a*h+b < 2^62, safe under Spark 4's default
-# ANSI overflow checking (and identical semantics in DuckDB, which raises
-# on BIGINT overflow — relevant for the oracle-mirrored dedup ops).
-_M = (1 << 31) - 1
-_A = [
-    5915587277, 1500450271, 3267000013, 5754853343, 4093082899, 9576890767,
-    3628273133, 2860486313, 5463458053, 3367900313, 5654500741, 4759123141,
-    3419974709, 2038074743, 6620830889, 7146970983, 2624723669, 9344353967,
-    4421467219, 6011903479, 3373167481, 8861930383, 6516841331, 4589131771,
-    9749479103, 2305843009, 4611686011, 7036874417, 5577006791, 8674665223,
-    6129484611, 4037200794,
-]
-_B = [
-    7816490313, 2712059301, 9223372036, 1865811549, 4443749221, 3142597265,
-    8501220953, 6247298041, 1110796069, 9933280251, 7081380773, 2428777381,
-    5720438811, 3845696987, 1689743569, 8036694617, 4906285211, 2641381843,
-    7561189883, 3356806841, 9120586721, 1847722377, 6354729467, 4468112801,
-    2983174419, 8792615189, 5307057683, 1621500297, 7435942911, 3250385525,
-    9064828139, 4879270753,
-]
-# reduce into the field (a ∈ [1, M), b ∈ [0, M))
-_A = [a % _M or 1 for a in _A]
-_B = [b % _M for b in _B]
+# The certified cross-engine hash kernel — constant pool, poly_hash,
+# minhash — lives in ONE module (hashing.py, VERDICT r4 #7) so the fuzzy
+# linker and the ops dedup/similarity families cannot silently diverge.
+# Re-exported names keep this module's public surface unchanged.
+from ..hashing import (  # noqa: F401
+    _A,
+    _B,
+    _M,
+    band_key_pair,
+    minhash_signature,
+    poly_hash,
+)
 
 # Frozen defaults, shared with the DuckDB oracle generator (oracle.py)
 # so the driver's value-hash gate certifies this exact configuration.
@@ -90,31 +77,6 @@ def shingles(name_col, k: int = 3):
     n = F.greatest(F.length(padded) - (k - 1), F.lit(1))
     return F.array_distinct(
         F.transform(F.sequence(F.lit(1), n), lambda i: F.substr(padded, i, F.lit(k)))
-    )
-
-
-def poly_hash(col):
-    """Rolling polynomial hash h <- (h*131 + charcode) mod 2^31-1 of a
-    string column — deterministic and identically computable in DuckDB
-    (list_reduce over ascii codes), unlike xxhash64."""
-    codes = F.transform(
-        F.sequence(F.lit(1), F.length(col)),
-        lambda i: F.ascii(F.substr(col, i, F.lit(1))).cast("long"),
-    )
-    return F.aggregate(
-        codes, F.lit(0).cast("long"), lambda acc, c: F.pmod(acc * 131 + c, F.lit(_M))
-    )
-
-
-def minhash_signature(shingle_col, num_perm: int = 16):
-    """Array of per-permutation minima over poly-hashed shingles,
-    all arithmetic within the 2^31-1 field (no bigint overflow)."""
-    hashed = F.transform(shingle_col, lambda s: poly_hash(s))
-    return F.transform(
-        F.array(*[F.struct(F.lit(_A[i]).alias("a"), F.lit(_B[i]).alias("b")) for i in range(num_perm)]),
-        lambda p: F.array_min(
-            F.transform(hashed, lambda h: F.pmod(p.a * h + p.b, F.lit(_M)))
-        ),
     )
 
 
@@ -151,9 +113,10 @@ def candidate_pairs(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.element_at(F.col("sig"), b * rows_per_band + 1)
-                * F.lit(_M)
-                + F.element_at(F.col("sig"), b * rows_per_band + 2),
+                lambda b: band_key_pair(
+                    F.element_at(F.col("sig"), b * rows_per_band + 1),
+                    F.element_at(F.col("sig"), b * rows_per_band + 2),
+                ),
             )
         ).alias("band_idx", "band_hash"),
     )

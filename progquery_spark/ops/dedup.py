@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..linking.fuzzy import _A, _B, _M, poly_hash
+from ..hashing import _A, _B, _M, band_key_pair, perm_hash, poly_hash
 from ..session import register_sf_views
 
 N_PERM = 16  # minhash permutations
@@ -221,9 +221,7 @@ def _lsh_buckets(dg: DataFrame) -> DataFrame:
     not gram-cardinality)."""
     sig = dg.groupBy("doc_id").agg(
         *[
-            F.min(
-                F.pmod(F.lit(_A[i]) * F.col("gid") + F.lit(_B[i]), F.lit(_M))
-            ).alias(f"v{i}")
+            F.min(perm_hash(F.col("gid"), i)).alias(f"v{i}")
             for i in range(N_PERM)
         ]
     )
@@ -235,9 +233,9 @@ def _lsh_buckets(dg: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(k).alias("band"),
-                        (
-                            F.col(f"v{rows_per_band * k}") * _M
-                            + F.col(f"v{rows_per_band * k + 1}")
+                        band_key_pair(
+                            F.col(f"v{rows_per_band * k}"),
+                            F.col(f"v{rows_per_band * k + 1}"),
                         ).alias("band_key"),
                     )
                     for k in range(N_BANDS)

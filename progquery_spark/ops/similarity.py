@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..linking.fuzzy import _A, _B
+from ..hashing import _A, _B
 from ..session import register_sf_views
 
 Q_SCALE = 1000  # quantization: int(round(x * 1000))
