@@ -437,6 +437,74 @@ def test_tokens_fast_equals_regex_form(spark, tmp_path):
     assert a == b, (a, b)
 
 
+def test_embedding_index_build_resume_and_consume(spark, tmp_path):
+    """VERDICT r4 #1: the persisted banding index is a first-class stage —
+    built atomically with a geometry manifest, idempotent under rebuild
+    (the resume contract), and the index-consuming ANN/near-dup forms are
+    value-identical to the inline-banding forms."""
+    import os
+
+    p = str(tmp_path / "embidx")
+    r1 = similarity.build_embedding_index(spark, SF, p)
+    assert r1["rows"] > 0 and r1["resumed"] is False
+    files = {
+        f: os.path.getmtime(os.path.join(r1["path"], f))
+        for f in os.listdir(r1["path"])
+        if f.endswith(".parquet")
+    }
+    assert files, "index wrote no parquet files"
+
+    # rebuild with identical params: a no-op (stage-manifest resume)
+    r2 = similarity.build_embedding_index(spark, SF, p)
+    assert r2["resumed"] is True and r2["rows"] == r1["rows"]
+    for f, mt in files.items():
+        assert os.path.getmtime(os.path.join(r1["path"], f)) == mt, f
+
+    # the consuming forms equal the inline-banding forms, bit for bit
+    a = {tuple(r) for r in similarity.q_ann_lsh_topk(spark, SF).collect()}
+    b = {
+        tuple(r)
+        for r in similarity.q_ann_lsh_topk_indexed(spark, SF, p).collect()
+    }
+    assert a == b and len(a) > 0
+    c = {tuple(r) for r in similarity.q_dedup_embedding_lsh(spark, SF).collect()}
+    d = {
+        tuple(r)
+        for r in similarity.q_dedup_embedding_lsh_indexed(spark, SF, p).collect()
+    }
+    assert c == d and len(c) > 0
+
+    # the indexed probe actually READS the persisted index (no banding
+    # recompute): its plan scans the bands parquet
+    plan = (
+        similarity.q_ann_lsh_topk_indexed(spark, SF, p)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "embidx" in plan
+
+
+def test_embedding_index_rejects_mismatch(spark, tmp_path):
+    """A geometry or source mismatch silently returns wrong neighbors, so
+    consumers must refuse the index outright."""
+    p = str(tmp_path / "embidx")
+    similarity.build_embedding_index(spark, SF, p)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        similarity.read_embedding_index(spark, p, bits=12)
+    with pytest.raises(ValueError, match="built from"):
+        similarity.read_embedding_index(spark, p, sf_dir="/elsewhere")
+    # a parameter change is not an error on BUILD — it rebuilds atomically
+    r = similarity.build_embedding_index(spark, SF, p, bits=5)
+    assert r["resumed"] is False
+    assert (
+        similarity.read_embedding_index(spark, p, bits=5).count() == r["rows"]
+    )
+
+
 def test_codepoints_utf32_fallback_exact():
     """Unit proof that the beyond-latin-1 branch of ``_codepoints`` is
     actually taken and exact (VERDICT r4 #2 / ADVICE r4): the fixture

@@ -94,11 +94,20 @@ def test_no_cartesian_in_similarity_plans(spark):
     from progquery_spark.ops.similarity import (
         q_ann_ivf,
         q_ann_lsh_topk,
+        q_ann_lsh_topk_indexed,
         q_dedup_embedding,
         q_dedup_embedding_lsh,
+        q_dedup_embedding_lsh_indexed,
     )
 
-    for q in (q_dedup_embedding, q_ann_ivf, q_dedup_embedding_lsh, q_ann_lsh_topk):
+    for q in (
+        q_dedup_embedding,
+        q_ann_ivf,
+        q_dedup_embedding_lsh,
+        q_ann_lsh_topk,
+        q_ann_lsh_topk_indexed,
+        q_dedup_embedding_lsh_indexed,
+    ):
         plan = _plan(q(spark, "/root/testdata/sf0.001"))
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
