@@ -90,6 +90,15 @@ def build_parser() -> argparse.ArgumentParser:
         "re-drains and crash-restarts are exactly-once per input file",
     )
     ap.add_argument(
+        "--replay-dead-letters",
+        metavar="TURNS_DIR",
+        help="re-ingest conversations parked as kind='dead_letter' rows in "
+        "an EXISTING warehouse: their turns are re-read in full from "
+        "TURNS_DIR (the listen dir, read as a batch — by replay time the "
+        "late turns sit next to the context that was missing) and pushed "
+        "through the C4 replace-by-conversation merge",
+    )
+    ap.add_argument(
         "--stream-idle-timeout-ms",
         type=int,
         default=60_000,
@@ -111,7 +120,12 @@ def main(argv: list[str] | None = None) -> int:
     import re
 
     args = build_parser().parse_args(argv)
-    if args.merge is None and args.input is None and args.transcripts is None:
+    if (
+        args.merge is None
+        and args.replay_dead_letters is None
+        and args.input is None
+        and args.transcripts is None
+    ):
         if not args.resume:
             build_parser().error("--input or --transcripts required without --resume")
     if args.merge is not None and args.extraction is not None:
@@ -120,6 +134,14 @@ def main(argv: list[str] | None = None) -> int:
             "--merge and --extraction are mutually exclusive: --merge "
             "re-extracts its batch from raw turns (C4), --extraction seeds "
             "a full run. Merge the drained batch first, or seed a fresh run."
+        )
+    if args.replay_dead_letters is not None and (
+        args.merge is not None or args.extraction is not None or args.stream
+    ):
+        build_parser().error(
+            "--replay-dead-letters is its own mode (a C4 merge sourced "
+            "from the warehouse's parked rows); combine it only with "
+            "--warehouse and the usual run knobs."
         )
     if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", args.warehouse):
         # ADVICE r4: the warehouse Manifest and the stream sink's
@@ -205,7 +227,27 @@ def main(argv: list[str] | None = None) -> int:
         spark.stop()
         return 0
     pipe = Pipeline(spark, args.warehouse, lineage=args.lineage)
-    if args.merge:
+    if args.replay_dead_letters:
+        from .schemas import TRANSCRIPT_SCHEMA
+
+        turns = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(
+            args.replay_dead_letters
+        )
+        out = pipe.replay_dead_letters(turns, fuzzy=args.fuzzy)
+        if out is None:
+            print(
+                json.dumps(
+                    {
+                        "mode": "replay_dead_letters",
+                        "replayed": False,
+                        "reason": "no dead letters in warehouse",
+                        "wall_sec": round(time.time() - t0, 2),
+                    }
+                )
+            )
+            spark.stop()
+            return 0
+    elif args.merge:
         batch = spark.read.parquet(args.merge)
         pipe.merge_new_conversations(batch, fuzzy=args.fuzzy)
     else:

@@ -217,6 +217,30 @@ def _expect_parser_error(args, needle):
     assert needle in out.stderr, out.stderr[-2000:]
 
 
+def test_cli_replay_dead_letters_noop(tmp_path):
+    """--replay-dead-letters on a warehouse with nothing parked reports
+    replayed=false and skips the merge (VERDICT r4 #8; the end-to-end
+    replay equivalence lives in test_streaming)."""
+    wh = str(tmp_path / "wh")
+    _run(
+        [
+            "--input", "/root/testdata/sf0.001",
+            "--warehouse", wh,
+            "--until", "extraction",
+            "--no-lineage",
+            "--shuffle-partitions", "8",
+        ]
+    )
+    out = _run(
+        [
+            "--warehouse", wh,
+            "--replay-dead-letters", f"{wh}/transcripts",
+            "--shuffle-partitions", "8",
+        ]
+    )
+    assert out["mode"] == "replay_dead_letters" and out["replayed"] is False
+
+
 def test_cli_rejects_merge_plus_extraction(tmp_path):
     """ADVICE r4: --merge used to silently win over --extraction, dropping
     the user's seed with no warning — now an explicit parser error."""
