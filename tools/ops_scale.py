@@ -159,6 +159,24 @@ def _elsh_bits(spark, corpus: str) -> int:
     return _ELSH_BITS_CACHE[corpus]
 
 
+def _scale_index_path(corpus: str) -> str:
+    return os.path.join(corpus, "_embidx")
+
+
+def _scale_index_build(spark, corpus: str, similarity):
+    """Build the persisted banding index for this corpus at its documented
+    key width; returns the index frame (so _timed's noop write + count
+    reflect the materialized index). Idempotent across reps — delete
+    ``<corpus>/_embidx`` to force a rebuild."""
+    p = _scale_index_path(corpus)
+    similarity.build_embedding_index(
+        spark, corpus, p, bits=_elsh_bits(spark, corpus)
+    )
+    return similarity.read_embedding_index(
+        spark, p, sf_dir=corpus, bits=_elsh_bits(spark, corpus)
+    )
+
+
 def _timed(name, mk, results):
     # Time construction + a noop-sink write: some operators do eager
     # driver-side work while building the frame (the CC loop, codebook
@@ -224,6 +242,24 @@ def run(corpus: str, cpus: int, only: set[str]) -> None:
         # trainless LSH-routed ANN at the corpus-sized key width
         "ann_lsh_topk": lambda: similarity.q_ann_lsh_topk(
             spark, corpus, bits=_elsh_bits(spark, corpus)
+        ),
+        # amortized-index economics (VERDICT r4 #1): the one-time banding
+        # index build, then the probe that consumes it — the production
+        # split of ann_lsh_topk's corpus-linear cost. embidx_build MUST run
+        # before ann_lsh_topk_indexed (dict order does that; `only` users
+        # pass both).
+        "embidx_build": lambda: _scale_index_build(spark, corpus, similarity),
+        "ann_lsh_topk_indexed": lambda: similarity.q_ann_lsh_topk_indexed(
+            spark, corpus, _scale_index_path(corpus),
+            bits=_elsh_bits(spark, corpus),
+        ),
+        # the same persisted index blocks near-dup pairs — the "pays
+        # twice" half of the economics
+        "dedup_embedding_lsh_indexed": (
+            lambda: similarity.q_dedup_embedding_lsh_indexed(
+                spark, corpus, _scale_index_path(corpus),
+                bits=_elsh_bits(spark, corpus), threshold=80000,
+            )
         ),
         # codebook scale knobs (documented in train_codebook): K tracks
         # n/target_bucket, training runs on the vec_id % SAMPLE
