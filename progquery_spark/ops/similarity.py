@@ -613,6 +613,11 @@ def build_embedding_index(
     rec = man.state["stages"].get(_INDEX_STAGE)
     if rec is not None and rec.get("params") == params and os.path.isdir(bands_path):
         return {**rec, "path": bands_path, "resumed": True}
+    # invalidate BEFORE overwriting: a rebuild with changed geometry that
+    # crashes between the bands rename and the manifest record must leave
+    # an index that readers REFUSE (no stage record), never one the stale
+    # manifest mis-certifies as the old geometry
+    man.invalidate(_INDEX_STAGE)
     t0 = _time.time()
     v = _quantized(spark, sf_dir, planted=planted)
     idx = _band_keys_df(v, n_bands, bits)

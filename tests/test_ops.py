@@ -505,6 +505,27 @@ def test_embedding_index_rejects_mismatch(spark, tmp_path):
     )
 
 
+def test_embedding_index_crashed_rebuild_refused(spark, tmp_path, monkeypatch):
+    """Crash-window invariant (round-5 self-review): a rebuild with CHANGED
+    geometry that dies before the manifest record must leave an index that
+    readers REFUSE (no stage record) — never one the stale manifest
+    mis-certifies as the old geometry."""
+    import progquery_spark.io.sinks as sinks
+
+    p = str(tmp_path / "embidx")
+    similarity.build_embedding_index(spark, SF, p)
+
+    def boom(df, path, partition_by=None):
+        raise RuntimeError("simulated crash mid-rebuild")
+
+    monkeypatch.setattr(sinks, "write_stage", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        similarity.build_embedding_index(spark, SF, p, bits=5)
+    monkeypatch.undo()
+    with pytest.raises(ValueError, match="stage record"):
+        similarity.read_embedding_index(spark, p)
+
+
 def test_codepoints_utf32_fallback_exact():
     """Unit proof that the beyond-latin-1 branch of ``_codepoints`` is
     actually taken and exact (VERDICT r4 #2 / ADVICE r4): the fixture
