@@ -63,6 +63,20 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/stopword/alpha-ratio quality banding — a standard
+    pretraining-corpus filter pass.
+
+    The built-in split/array_intersect/regexp_replace form IS the
+    measured-best form (round 5): an Arrow-vectorized twin (the
+    tokens_fast/fingerprint_long pattern — boundary-checked stopword
+    substring masks over the slice codepoint array) was built,
+    value-certified on every adversarial fixture, measured, and REVERTED:
+    13.5 vs 14.9 s at 2M short docs / 4 cores (a wash), and LOSES on 5k-
+    char documents (3.5 vs 2.5 s at 100k docs / 16 cores) — unlike
+    regexp_count's Matcher churn or substr's O(len^2) fold, these array
+    built-ins are linear and allocation-light, and the Arrow twin's
+    ~30 full-slice mask passes plus transport cost more than they save.
+    Numbers in BENCH/BASELINE.md (round-5 note)."""
     d = _docs(spark, sf_dir)
     toks = F.split("text", " ")
     stop_hits = F.size(
