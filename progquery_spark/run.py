@@ -143,6 +143,11 @@ def main(argv: list[str] | None = None) -> int:
             "from the warehouse's parked rows); combine it only with "
             "--warehouse and the usual run knobs."
         )
+    if args.count_total and not args.stream:
+        build_parser().error(
+            "--count-total only applies to --stream (it opts into the "
+            "full-sink audit count after a drain)."
+        )
     if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", args.warehouse):
         # ADVICE r4: the warehouse Manifest and the stream sink's
         # _spark_metadata bookkeeping use local open()/isdir — a remote URI

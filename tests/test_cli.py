@@ -254,6 +254,19 @@ def test_cli_rejects_merge_plus_extraction(tmp_path):
     )
 
 
+def test_cli_rejects_count_total_without_stream(tmp_path):
+    """--count-total is a stream-drain audit knob; passing it to a batch
+    run would be silently ignored — refuse instead."""
+    _expect_parser_error(
+        [
+            "--input", "/root/testdata/sf0.001",
+            "--warehouse", str(tmp_path / "wh"),
+            "--count-total",
+        ],
+        "only applies to --stream",
+    )
+
+
 def test_cli_rejects_remote_warehouse_uri(tmp_path):
     """ADVICE r4: the Manifest and stream-sink commit-log checks use local
     file APIs; a URI warehouse would silently skip the v1-layout refusal
