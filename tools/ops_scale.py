@@ -166,9 +166,16 @@ def _scale_index_path(corpus: str) -> str:
 def _scale_index_build(spark, corpus: str, similarity):
     """Build the persisted banding index for this corpus at its documented
     key width; returns the index frame (so _timed's noop write + count
-    reflect the materialized index). Idempotent across reps — delete
-    ``<corpus>/_embidx`` to force a rebuild."""
+    reflect the materialized index). The old index is DELETED first so
+    every timed rep measures a real build: build_embedding_index's
+    idempotent resume is the production contract, but under pair()'s
+    min-per-(op,level) protocol a resume no-op (~2 s) would silently
+    replace the build cost (~100 s at 2M vectors) in the recorded
+    numbers — the op named embidx_build must time the build."""
+    import shutil
+
     p = _scale_index_path(corpus)
+    shutil.rmtree(p, ignore_errors=True)
     similarity.build_embedding_index(
         spark, corpus, p, bits=_elsh_bits(spark, corpus)
     )
