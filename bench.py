@@ -61,6 +61,9 @@ def main() -> None:
             ("q_extract", Q.q_triples_raw),
             ("q_canonical", Q.q_triples_canonical),
             ("q_modality", Q.q_modality),
+            # graph-query surface (round 5): full-graph assembly + a
+            # FLOW hop with edge props through graph/query.py
+            ("q_gq_tool_callers", Q.q_gq_tool_callers),
         ):
             t = time.time()
             fn(spark, sf_dir).count()

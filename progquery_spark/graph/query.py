@@ -1,0 +1,130 @@
+"""Composable query surface over the materialized property graph — the
+in-repo analog of the reference's downstream graph querying (ProgQuery's
+users ask Cypher questions over the Neo4j graph it builds; the shipped
+program-analysis queries are the product, the extraction is the means —
+see the query evaluation in /root/reference's README and the
+insertNewQuery/getQueries surface, utils/ProgQueryDataBase.java). SURVEY
+§2 scopes this repo as the extraction pipeline; this module gives a user
+switching from the reference SOMEWHERE to ask the same *kind* of
+questions — match typed nodes, walk labeled edges, filter on properties —
+re-expressed Spark-first instead of translated from Cypher.
+
+Design rules (the 100 TB contract):
+
+- Every step is a LAZY DataFrame transformation: an entire
+  match -> hop -> filter -> aggregate chain compiles into one Catalyst
+  plan. ``match(node_type=...)`` is a filter the optimizer pushes into
+  the node scan — and because the node frame is a union of per-family
+  subtrees whose node_type is a literal, constant folding prunes every
+  non-matching family's scan outright.
+- A hop is two equi-joins (node_id = src_id, then dst_id = node_id).
+  AQE picks broadcast vs shuffled-hash per actual side size; there is no
+  cartesian anywhere (plan-tested). On a warehouse bucketed by
+  node_id/src_id the hop joins are shuffle-free.
+- Multiplicity is Cypher's MATCH: one row per traversed edge (aggregate
+  to dedup). Nothing collects to the driver; nothing is per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: columns every node row carries (materialize._pad's uniform schema)
+_RESERVED = ("src_", "edge_")
+
+
+class PropertyGraph:
+    """Entry point: wraps the (nodes, edges) frames ``build_nodes`` /
+    ``build_edges`` (+ ``flow_edges`` etc.) produce."""
+
+    def __init__(self, nodes: DataFrame, edges: DataFrame):
+        self.nodes = nodes
+        self.edges = edges
+
+    def match(
+        self,
+        node_type: str | None = None,
+        name: str | None = None,
+        where=None,
+    ) -> "NodeSet":
+        """Select a starting node set by type / name / arbitrary Column
+        predicate (use ``F.col("props")["k"]`` for property matches)."""
+        df = self.nodes
+        if node_type is not None:
+            df = df.filter(F.col("node_type") == node_type)
+        if name is not None:
+            df = df.filter(F.col("name") == name)
+        if where is not None:
+            df = df.filter(where)
+        return NodeSet(self, df)
+
+
+class NodeSet:
+    """A lazily-built set of (node row, carried context) rows. ``out`` /
+    ``in_`` walk one edge; ``carry`` keeps columns from the CURRENT node
+    into the result as ``src_<col>``; ``edge_props`` surfaces edge
+    properties as ``edge_<key>``. Carried columns persist through later
+    hops (they are plain columns), so multi-hop provenance is free."""
+
+    def __init__(self, graph: PropertyGraph, df: DataFrame):
+        self._g = graph
+        self._df = df
+
+    def where(self, cond) -> "NodeSet":
+        return NodeSet(self._g, self._df.filter(cond))
+
+    def out(
+        self, rel_type=None, rel_graph=None, into=None, carry=(), edge_props=()
+    ):
+        """Follow edges src -> dst; the result set is the dst nodes.
+
+        Pass ``rel_graph`` whenever you know the family: it is a LITERAL
+        in every edge-family subtree, so the filter constant-folds the
+        other families' scans out of the plan. ``rel_type`` alone cannot
+        prune SEMANTIC edges — their rel_type is the data-borne ``pred``
+        column. Likewise pass ``into`` (the destination node_type) when
+        known: structural node families carry literal types, so the
+        destination-side union prunes the same way (entity-family types
+        are data-borne and filter at runtime instead)."""
+        return self._hop(
+            "src_id", "dst_id", rel_type, rel_graph, into, carry, edge_props
+        )
+
+    def in_(
+        self, rel_type=None, rel_graph=None, into=None, carry=(), edge_props=()
+    ):
+        """Follow edges dst -> src (the reverse direction)."""
+        return self._hop(
+            "dst_id", "src_id", rel_type, rel_graph, into, carry, edge_props
+        )
+
+    def _hop(self, here, there, rel_type, rel_graph, into, carry, edge_props):
+        e = self._g.edges
+        if rel_type is not None:
+            e = e.filter(F.col("rel_type") == rel_type)
+        if rel_graph is not None:
+            e = e.filter(F.col("rel_graph") == rel_graph)
+        kept = [c for c in self._df.columns if c.startswith(_RESERVED)]
+        for c in carry:
+            if f"src_{c}" in kept:
+                raise ValueError(
+                    f"carry collision: src_{c} already carried by an "
+                    "earlier hop — alias it before carrying again"
+                )
+        left = self._df.select(
+            F.col("node_id").alias("__here"),
+            *[F.col(c) for c in kept],
+            *[F.col(c).alias(f"src_{c}") for c in carry],
+        )
+        esel = [F.col(here).alias("__here"), F.col(there).alias("__there")]
+        esel += [F.col("props")[p].alias(f"edge_{p}") for p in edge_props]
+        hop = left.join(e.select(*esel), "__here").drop("__here")
+        dst = self._g.nodes
+        if into is not None:
+            dst = dst.filter(F.col("node_type") == into)
+        out = hop.join(dst, hop["__there"] == dst["node_id"]).drop("__there")
+        return NodeSet(self._g, out)
+
+    def df(self) -> DataFrame:
+        return self._df

@@ -763,3 +763,63 @@ reach AS (
         + "\nSELECT root, node, CAST(MIN(hops) AS INT) AS hops "
         "FROM reach GROUP BY root, node"
     )
+
+
+# --- graph-query surface oracles (round 5: downstream querying analog) ------
+# The reference's users query the BUILT graph (Cypher over Neo4j); these
+# replicate the registered graph-surface queries (queries.q_gq_*) from the
+# base tables, certifying that match -> hop -> filter -> aggregate over the
+# materialized node/edge frames equals the direct relational form.
+
+
+def gq_tool_callers_sql() -> str:
+    """TURN(tool) -[TOOL_RESULT_OF {tool}]-> TURN grouped by (tool prop,
+    caller role): the dst of a TOOL_RESULT_OF edge is the turn preceding
+    the tool turn (passes.flow_edges), so LAG(role) is the caller."""
+    return (
+        duckdb_transcripts_cte()
+        + """
+        SELECT tool, caller_role, COUNT(*) AS n FROM (
+          SELECT coalesce(tool, '') AS tool, role,
+                 LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   AS caller_role
+          FROM transcripts) t
+        WHERE role = 'tool' AND caller_role IS NOT NULL
+        GROUP BY tool, caller_role
+        """
+    )
+
+
+def gq_entity_reach_sql() -> str:
+    """MENTION -[REFERS_TO]-> entity with carried conv_id: REFERS_TO edges
+    exist for every non-literal mention and land on the canonical entity;
+    the exact alias map is the identity, so canonical_key = norm_key."""
+    return _with(
+        _BASE_CTES,
+        _MENTIONS_CTE,
+        select="""
+        SELECT norm_key AS canonical_key,
+               COUNT(DISTINCT conv_id) AS n_convs
+        FROM mentions WHERE mention_type <> 'literal'
+        GROUP BY norm_key HAVING COUNT(DISTINCT conv_id) >= 2
+        """,
+    )
+
+
+def gq_assistant_mentions_sql() -> str:
+    """CONVERSATION -[HAS_TURN]-> TURN{role=assistant} -[HAS_MENTION]->
+    MENTION per conversation: HAS_MENTION fans out one edge per mention of
+    the turn, so the count equals mentions on assistant turns."""
+    tcte = duckdb_transcripts_cte().replace("WITH ", "")
+    return _with(
+        tcte,
+        _BASE_CTES,
+        _MENTIONS_CTE,
+        select="""
+        SELECT m.conv_id AS conv_id, COUNT(*) AS n_mentions
+        FROM mentions m JOIN transcripts t
+          ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx
+        WHERE t.role = 'assistant'
+        GROUP BY m.conv_id
+        """,
+    )

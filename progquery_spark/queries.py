@@ -385,6 +385,82 @@ def q_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_mention_counts(m, amap)
 
 
+def _property_graph(spark: SparkSession, sf_dir: str):
+    """Full property graph (all node families; structure + link + semantic
+    + flow edges) wrapped in the ProgQuery-analog query surface."""
+    from .graph.query import PropertyGraph
+
+    tr = _transcripts(spark, sf_dir)
+    ex = _extraction(spark, sf_dir)
+    m = mentions_of(ex)
+    stats = surface_stats(m)
+    ents = link_entities_from_stats(stats)
+    amap = _alias_map_cached(spark, sf_dir)
+    tcanon = canonicalize_triples(triples_of(ex), amap)
+    nodes = build_nodes(tr, m, ents, amap)
+    edges = build_edges(tr, m, tcanon, amap).unionByName(flow_edges(tr))
+    return PropertyGraph(nodes, edges)
+
+
+def q_gq_tool_callers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-query surface (reference parity: downstream Cypher over the
+    built graph — the exception-provenance query shape, 'which methods are
+    reached by CFG_MAY_THROW edges of type X', ASTAuxiliarStorage.java:
+    106-131): per (tool, caller_role), how many tool results flowed back —
+    match TURN(name='tool') -[TOOL_RESULT_OF {tool}]-> TURN, grouped by
+    the edge's tool prop and the destination turn's role."""
+    g = _property_graph(spark, sf_dir)
+    # rel_graph is a LITERAL per edge family, so passing it lets constant
+    # folding prune every other family's subtree from the plan — rel_type
+    # alone cannot prune SEMANTIC edges (their rel_type is the data-borne
+    # pred column)
+    hop = g.match("TURN", name="tool").out(
+        "TOOL_RESULT_OF", rel_graph="FLOW", into="TURN", edge_props=("tool",)
+    )
+    return (
+        hop.df()
+        .groupBy(
+            F.col("edge_tool").alias("tool"),
+            F.col("name").alias("caller_role"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_gq_entity_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-query surface: entities referenced from 2+ conversations —
+    match MENTION -[REFERS_TO]-> entity, carrying the mention's conv_id
+    through the hop, then count distinct conversations per canonical
+    entity (the 'definition used across compilation units' query shape,
+    DefinitionCache.java:20-31)."""
+    g = _property_graph(spark, sf_dir)
+    hop = g.match("MENTION").out(
+        "REFERS_TO", rel_graph="LINK", carry=("conv_id",)
+    )
+    return (
+        hop.df()
+        .groupBy("canonical_key")
+        .agg(F.countDistinct("src_conv_id").alias("n_convs"))
+        .filter(F.col("n_convs") >= 2)
+    )
+
+
+def q_gq_assistant_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-query surface, two STRUCTURE hops with a node-prop filter:
+    match CONVERSATION -[HAS_TURN]-> TURN {role: assistant}
+    -[HAS_MENTION]-> MENTION, counted per conversation — mentions that
+    assistant turns contributed (the scoped-containment query shape,
+    'program -> class -> member' traversals over HAS_* structure edges)."""
+    g = _property_graph(spark, sf_dir)
+    hop = (
+        g.match("CONVERSATION")
+        .out("HAS_TURN", rel_graph="STRUCTURE", into="TURN")
+        .where(F.col("props")["role"] == "assistant")
+        .out("HAS_MENTION", rel_graph="STRUCTURE", into="MENTION")
+    )
+    return hop.df().groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_mentions"))
+
+
 def kg_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_transcripts": q_transcripts,
@@ -407,6 +483,9 @@ def kg_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_must_reach": q_must_reach,
         "kg_reachability": q_reachability,
         "kg_mention_counts": q_mention_counts,
+        "kg_gq_tool_callers": q_gq_tool_callers,
+        "kg_gq_entity_reach": q_gq_entity_reach,
+        "kg_gq_assistant_mentions": q_gq_assistant_mentions,
     }
 
 
@@ -434,4 +513,7 @@ def kg_oracles() -> dict[str, str]:
         "kg_must_reach": O.must_reach_sql(),
         "kg_reachability": O.reachability_sql(),
         "kg_mention_counts": O.mention_counts_sql(),
+        "kg_gq_tool_callers": O.gq_tool_callers_sql(),
+        "kg_gq_entity_reach": O.gq_entity_reach_sql(),
+        "kg_gq_assistant_mentions": O.gq_assistant_mentions_sql(),
     }
