@@ -99,6 +99,108 @@ class NodeSet:
             "dst_id", "src_id", rel_type, rel_graph, into, carry, edge_props
         )
 
+    def out_star(
+        self,
+        rel_type=None,
+        rel_graph=None,
+        min_hops: int = 1,
+        max_hops: int = 3,
+        into=None,
+        carry=(),
+    ) -> "NodeSet":
+        """Bounded variable-length traversal — Cypher's ``-[:R*m..k]->``
+        (the reference's most-used query shape: transitive AST walks,
+        e.g. the subtype-DAG propagation of HierarchyAnalysis.java:28-113
+        and the call-graph recursion of ASTAuxiliarStorage
+        .doInitializationAnalysis:169-202, both memoized single-JVM
+        recursions).
+
+        Semantics are MIN-DISTANCE, one row per (start row, destination
+        node) with an ``int hops`` column — not one row per path: path
+        enumeration is exponential on branchy graphs and the reference's
+        memoized recursions visit each node once, i.e. BFS. ``min_hops=0``
+        includes the start nodes themselves.
+
+        Unlike single hops this is NOT lazy: level-synchronous BFS needs
+        an action per round (frontier ⋈ edges, dedup, anti-join reached,
+        ``localCheckpoint`` to cut the exponential lineage — the same
+        discipline as canonicalize.cc and graph.passes.entity_reachability,
+        SURVEY §2.6 G3/G5). Start rows are deduplicated to distinct
+        (node_id, carried...) tuples first (min-distance is per start
+        NODE); the BFS itself runs once per distinct node_id and carried
+        context re-attaches by join afterwards, so duplicate contexts
+        don't multiply traversal work. Truncation at ``max_hops`` with a
+        non-empty frontier warns loudly (oracle divergence risk) instead
+        of silently dropping reachable nodes."""
+        if not (0 <= min_hops <= max_hops) or max_hops < 1:
+            raise ValueError(
+                f"out_star needs 0 <= min_hops <= max_hops, >= 1 hop max; "
+                f"got min_hops={min_hops}, max_hops={max_hops}"
+            )
+        e = self._g.edges
+        if rel_type is not None:
+            e = e.filter(F.col("rel_type") == rel_type)
+        if rel_graph is not None:
+            e = e.filter(F.col("rel_graph") == rel_graph)
+        edges = e.select(
+            F.col("src_id").alias("__src"), F.col("dst_id").alias("__dst")
+        ).dropDuplicates(["__src", "__dst"])
+        kept = [c for c in self._df.columns if c.startswith(_RESERVED)]
+        for c in carry:
+            if f"src_{c}" in kept:
+                raise ValueError(
+                    f"carry collision: src_{c} already carried by an "
+                    "earlier hop — alias it before carrying again"
+                )
+        starts = self._df.select(
+            F.col("node_id").alias("__root"),
+            *[F.col(c) for c in kept],
+            *[F.col(c).alias(f"src_{c}") for c in carry],
+        ).dropDuplicates()
+        frontier = (
+            starts.select("__root")
+            .distinct()
+            .select(
+                "__root",
+                F.col("__root").alias("__node"),
+                F.lit(0).cast("int").alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        reached = frontier
+        drained = False
+        for hop in range(1, max_hops + 1):
+            frontier = (
+                frontier.join(edges, frontier["__node"] == edges["__src"])
+                .select("__root", F.col("__dst").alias("__node"))
+                .dropDuplicates(["__root", "__node"])
+                .join(reached, ["__root", "__node"], "left_anti")
+                .withColumn("hops", F.lit(hop).cast("int"))
+                .localCheckpoint(eager=True)
+            )
+            if frontier.isEmpty():
+                drained = True
+                break
+            reached = reached.unionByName(frontier).localCheckpoint(eager=True)
+        if not drained and not frontier.isEmpty():
+            import warnings
+
+            warnings.warn(
+                f"out_star truncated at max_hops={max_hops}: frontier "
+                "non-empty — nodes beyond the bound are missing from the "
+                "result (raise max_hops or expect oracle divergence)",
+                stacklevel=2,
+            )
+        hits = reached.filter(F.col("hops") >= min_hops)
+        dst = self._g.nodes
+        if into is not None:
+            dst = dst.filter(F.col("node_type") == into)
+        joined = hits.join(starts, "__root").drop("__root")
+        out = joined.join(dst, joined["__node"] == dst["node_id"]).drop(
+            "__node"
+        )
+        return NodeSet(self._g, out)
+
     def _hop(self, here, there, rel_type, rel_graph, into, carry, edge_props):
         e = self._g.edges
         if rel_type is not None:

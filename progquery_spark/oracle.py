@@ -772,6 +772,49 @@ reach AS (
 # materialized node/edge frames equals the direct relational form.
 
 
+def gq_customer_orbit_sql() -> str:
+    """Variable-length traversal oracle (out_star): BFS min-distance from
+    customer entities over ALL SEMANTIC edges, bounded at 2 hops, counted
+    per (hops, destination node type). Mirrors the materialized edge
+    builder's key space: entity objs stay canonical keys, literal objs get
+    the ``lit:`` node namespace (materialize.build_edges). Rootless
+    customers (no outgoing triples) contribute nothing at hops >= 1, so
+    deriving roots from triple subjects equals the Spark side's
+    all-CUSTOMER-nodes match. Termination: hops grows monotonically and
+    the recursive branch is bounded (hops < 2), so cycles cannot loop."""
+    body = f"""
+sem_edges AS (
+  SELECT DISTINCT subj AS src,
+         CASE WHEN pred IN {_ENTITY_PREDS} THEN obj
+              ELSE 'lit:' || obj END AS dst
+  FROM triples_canon
+),
+orbit AS (
+  SELECT src AS root, src AS node, 0 AS hops
+  FROM (SELECT DISTINCT src FROM sem_edges WHERE src LIKE 'customer:%')
+  UNION
+  SELECT o.root, e.dst, o.hops + 1
+  FROM orbit o JOIN sem_edges e ON e.src = o.node
+  WHERE o.hops < 2
+),
+orbit_min AS (
+  SELECT root, node, MIN(hops) AS hops FROM orbit GROUP BY root, node
+)
+"""
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(
+            c.strip().strip(",")
+            for c in (_BASE_CTES, _TRIPLES_CTE, _TRIPLES_CANON_CTE, body)
+        )
+        + "\nSELECT CAST(hops AS INT) AS hops,"
+        "\n       CASE WHEN node LIKE 'lit:%' THEN 'LITERAL'"
+        "\n            ELSE UPPER(split_part(node, ':', 1)) END AS dst_type,"
+        "\n       COUNT(*) AS n"
+        "\nFROM orbit_min WHERE hops >= 1 GROUP BY 1, 2"
+    )
+
+
 def gq_tool_callers_sql() -> str:
     """TURN(tool) -[TOOL_RESULT_OF {tool}]-> TURN grouped by (tool prop,
     caller role): the dst of a TOOL_RESULT_OF edge is the turn preceding

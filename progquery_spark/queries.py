@@ -461,6 +461,25 @@ def q_gq_assistant_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hop.df().groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_mentions"))
 
 
+def q_gq_customer_orbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-query surface, variable-length traversal: everything within
+    1..2 SEMANTIC hops of any customer entity — match CUSTOMER
+    -[*1..2 {rel_graph: SEMANTIC}]-> node, counted per (hops, destination
+    node type). Cypher's ``-[:R*1..k]->`` with min-distance semantics (the
+    transitive-walk query shape: subtype-DAG propagation,
+    HierarchyAnalysis.java:28-113). One count unit = one distinct
+    (customer root, destination node) pair at its BFS distance; hop 1
+    reaches nations/orders/literal props, hop 2 reaches parts + order
+    literals."""
+    g = _property_graph(spark, sf_dir)
+    orbit = g.match("CUSTOMER").out_star(rel_graph="SEMANTIC", max_hops=2)
+    return (
+        orbit.df()
+        .groupBy("hops", F.col("node_type").alias("dst_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def kg_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_transcripts": q_transcripts,
@@ -486,6 +505,7 @@ def kg_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_gq_tool_callers": q_gq_tool_callers,
         "kg_gq_entity_reach": q_gq_entity_reach,
         "kg_gq_assistant_mentions": q_gq_assistant_mentions,
+        "kg_gq_customer_orbit": q_gq_customer_orbit,
     }
 
 
@@ -516,4 +536,5 @@ def kg_oracles() -> dict[str, str]:
         "kg_gq_tool_callers": O.gq_tool_callers_sql(),
         "kg_gq_entity_reach": O.gq_entity_reach_sql(),
         "kg_gq_assistant_mentions": O.gq_assistant_mentions_sql(),
+        "kg_gq_customer_orbit": O.gq_customer_orbit_sql(),
     }

@@ -115,3 +115,73 @@ def test_rel_graph_and_into_literals_prune_families(g):
     # dst union reduced to the TURN family: base-table scans drop
     assert by_into.count("Scan parquet") < by_graph.count("Scan parquet")
     assert by_into.count("Union") < by_graph.count("Union")
+
+
+def test_out_star_hop1_equals_single_hop(g):
+    """At min_hops=max_hops=1 the traversal is exactly one hop with
+    min-distance dedup: distinct (root, dst) pairs of a single out()."""
+    star = g.match("CUSTOMER").out_star(
+        rel_graph="SEMANTIC", min_hops=1, max_hops=1
+    ).df()
+    single = (
+        g.match("CUSTOMER")
+        .out(rel_graph="SEMANTIC", carry=("node_id",))
+        .df()
+        .select("src_node_id", "node_id")
+        .distinct()
+    )
+    assert star.count() == single.count() > 0
+    assert star.select("hops").distinct().collect()[0][0] == 1
+
+
+def test_out_star_min_distance_no_dup_destinations(g):
+    """One row per (start, destination) at its BFS distance — a node
+    reachable at hops 1 and 2 appears once, at 1."""
+    star = g.match("CUSTOMER").out_star(
+        rel_graph="SEMANTIC", max_hops=2, carry=("node_id",)
+    ).df()
+    n = star.count()
+    assert n == star.select("src_node_id", "node_id").distinct().count() > 0
+    assert {r[0] for r in star.select("hops").distinct().collect()} == {1, 2}
+
+
+def test_out_star_min_hops_zero_includes_starts(g):
+    starts = g.match("CUSTOMER").df()
+    star0 = g.match("CUSTOMER").out_star(
+        rel_graph="SEMANTIC", min_hops=0, max_hops=1
+    ).df()
+    zero_rows = star0.filter(F.col("hops") == 0)
+    assert zero_rows.count() == starts.count()
+    assert zero_rows.select("node_type").distinct().collect()[0][0] == "CUSTOMER"
+
+
+def test_out_star_carry_and_into(g):
+    star = g.match("CUSTOMER").out_star(
+        rel_graph="SEMANTIC", max_hops=2, into="PART",
+        carry=("canonical_key",),
+    ).df()
+    assert "src_canonical_key" in star.columns
+    assert star.select("node_type").distinct().collect()[0][0] == "PART"
+    # parts are two semantic hops from customers (customer->order->part)
+    assert star.select("hops").distinct().collect()[0][0] == 2
+    assert star.filter(~F.col("src_canonical_key").startswith("customer:")).count() == 0
+
+
+def test_out_star_validates_bounds_and_warns_on_truncation(g):
+    with pytest.raises(ValueError, match="min_hops"):
+        g.match("CUSTOMER").out_star(min_hops=2, max_hops=1)
+    with pytest.raises(ValueError, match="min_hops"):
+        g.match("CUSTOMER").out_star(min_hops=-1)
+    # max_hops=1 leaves the order->part frontier unexpanded: loud warning
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        g.match("CUSTOMER").out_star(rel_graph="SEMANTIC", max_hops=1)
+        assert any("truncated" in str(x.message) for x in w)
+
+
+def test_out_star_plan_is_clean(spark):
+    plan = _plan(Q.q_gq_customer_orbit(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
