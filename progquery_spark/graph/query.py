@@ -132,9 +132,35 @@ class NodeSet:
         don't multiply traversal work. Truncation at ``max_hops`` with a
         non-empty frontier warns loudly (oracle divergence risk) instead
         of silently dropping reachable nodes."""
+        return self._star(
+            "src_id", "dst_id", rel_type, rel_graph, min_hops, max_hops,
+            into, carry,
+        )
+
+    def in_star(
+        self,
+        rel_type=None,
+        rel_graph=None,
+        min_hops: int = 1,
+        max_hops: int = 3,
+        into=None,
+        carry=(),
+    ) -> "NodeSet":
+        """Variable-length traversal AGAINST edge direction — Cypher's
+        ``<-[:R*m..k]-``. Same min-distance BFS semantics as ``out_star``
+        with src/dst swapped."""
+        return self._star(
+            "dst_id", "src_id", rel_type, rel_graph, min_hops, max_hops,
+            into, carry,
+        )
+
+    def _star(
+        self, here, there, rel_type, rel_graph, min_hops, max_hops, into,
+        carry,
+    ) -> "NodeSet":
         if not (0 <= min_hops <= max_hops) or max_hops < 1:
             raise ValueError(
-                f"out_star needs 0 <= min_hops <= max_hops, >= 1 hop max; "
+                f"star hop needs 0 <= min_hops <= max_hops, >= 1 hop max; "
                 f"got min_hops={min_hops}, max_hops={max_hops}"
             )
         e = self._g.edges
@@ -143,7 +169,7 @@ class NodeSet:
         if rel_graph is not None:
             e = e.filter(F.col("rel_graph") == rel_graph)
         edges = e.select(
-            F.col("src_id").alias("__src"), F.col("dst_id").alias("__dst")
+            F.col(here).alias("__src"), F.col(there).alias("__dst")
         ).dropDuplicates(["__src", "__dst"])
         kept = [c for c in self._df.columns if c.startswith(_RESERVED)]
         for c in carry:
@@ -186,7 +212,7 @@ class NodeSet:
             import warnings
 
             warnings.warn(
-                f"out_star truncated at max_hops={max_hops}: frontier "
+                f"star hop truncated at max_hops={max_hops}: frontier "
                 "non-empty — nodes beyond the bound are missing from the "
                 "result (raise max_hops or expect oracle divergence)",
                 stacklevel=2,

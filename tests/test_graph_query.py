@@ -185,3 +185,31 @@ def test_out_star_plan_is_clean(spark):
     plan = _plan(Q.q_gq_customer_orbit(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_in_star_is_reverse_of_out_star(g):
+    """PART <-[*1..2 SEMANTIC]- reaches exactly the (root, node) pairs
+    that CUSTOMER -[*1..2]-> PART reaches, with roles swapped: parts are
+    2 semantic hops downstream of customers (customer->order->part)."""
+    fwd = (
+        g.match("CUSTOMER")
+        .out_star(rel_graph="SEMANTIC", max_hops=2, into="PART",
+                  carry=("canonical_key",))
+        .df()
+        .select(
+            F.col("src_canonical_key").alias("customer"),
+            F.col("canonical_key").alias("part"),
+        )
+    )
+    rev = (
+        g.match("PART")
+        .in_star(rel_graph="SEMANTIC", max_hops=2, into="CUSTOMER",
+                 carry=("canonical_key",))
+        .df()
+        .select(
+            F.col("canonical_key").alias("customer"),
+            F.col("src_canonical_key").alias("part"),
+        )
+    )
+    assert fwd.count() == rev.count() > 0
+    assert fwd.exceptAll(rev).count() == 0
