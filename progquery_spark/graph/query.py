@@ -182,7 +182,25 @@ class NodeSet:
             F.col("node_id").alias("__root"),
             *[F.col(c) for c in kept],
             *[F.col(c).alias(f"src_{c}") for c in carry],
-        ).dropDuplicates()
+        )
+        # the start-set dedup is a set operation, and Spark set ops reject
+        # map-typed columns — a carried `props` (legal on single hops,
+        # which never dedup) would die here with a cryptic analysis error.
+        # Refuse with the fix spelled out instead.
+        maps = [
+            f.name
+            for f in starts.schema.fields
+            if f.dataType.typeName() == "map"
+        ]
+        if maps:
+            raise ValueError(
+                f"star hop cannot carry map-typed columns {maps}: the "
+                "min-distance start-set dedup is a set operation, which "
+                "Spark forbids on maps — carry a scalar instead, e.g. "
+                "F.col(\"props\")[\"key\"] aliased via .where/.df() before "
+                "the star hop"
+            )
+        starts = starts.dropDuplicates()
         frontier = (
             starts.select("__root")
             .distinct()

@@ -213,3 +213,16 @@ def test_in_star_is_reverse_of_out_star(g):
     )
     assert fwd.count() == rev.count() > 0
     assert fwd.exceptAll(rev).count() == 0
+
+
+def test_star_refuses_map_typed_carry(g):
+    """Carrying a map (legal on single hops) would die inside the BFS
+    start-set dedup with a cryptic Spark set-op error — refuse clearly."""
+    with pytest.raises(ValueError, match="map-typed"):
+        g.match("CUSTOMER").out_star(rel_graph="SEMANTIC", carry=("props",))
+    # and via an upstream single-hop carry arriving as src_props
+    upstream = g.match("CONVERSATION").out(
+        "HAS_TURN", rel_graph="STRUCTURE", carry=("props",)
+    )
+    with pytest.raises(ValueError, match="map-typed"):
+        upstream.out_star(rel_graph="FLOW", max_hops=1)
