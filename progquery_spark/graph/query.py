@@ -226,15 +226,29 @@ class NodeSet:
                 drained = True
                 break
             reached = reached.unionByName(frontier).localCheckpoint(eager=True)
-        if not drained and not frontier.isEmpty():
-            import warnings
-
-            warnings.warn(
-                f"star hop truncated at max_hops={max_hops}: frontier "
-                "non-empty — nodes beyond the bound are missing from the "
-                "result (raise max_hops or expect oracle divergence)",
-                stacklevel=2,
+        if not drained:
+            # the hop-max_hops frontier is non-empty, but that alone does
+            # not mean anything was dropped — a walk that drains EXACTLY
+            # at the bound (last layer at distance max_hops, nothing
+            # beyond) is complete. Pay one extra expansion to warn only on
+            # TRUE truncation; a false "missing nodes" warning on every
+            # bounded query is noise that trains users to ignore the real
+            # one.
+            beyond = (
+                frontier.join(edges, frontier["__node"] == edges["__src"])
+                .select("__root", F.col("__dst").alias("__node"))
+                .join(reached, ["__root", "__node"], "left_anti")
             )
+            if not beyond.isEmpty():
+                import warnings
+
+                warnings.warn(
+                    f"star hop truncated at max_hops={max_hops}: "
+                    "reachable nodes beyond the bound are missing from "
+                    "the result (raise max_hops or expect oracle "
+                    "divergence)",
+                    stacklevel=2,
+                )
         hits = reached.filter(F.col("hops") >= min_hops)
         dst = self._g.nodes
         if into is not None:

@@ -815,6 +815,52 @@ orbit_min AS (
     )
 
 
+def gq_supplier_upstream_sql() -> str:
+    """Reverse variable-length traversal oracle (in_star): BFS
+    min-distance AGAINST edge direction from supplier entities over ALL
+    SEMANTIC edges, bounded at 3 hops, counted per (hops, source node
+    type). Same key space as the orbit oracle (canonical entity keys;
+    literal objs in the ``lit:`` namespace — unreachable here, since the
+    reverse walk only ever stands on triple SUBJECTS, but kept in the
+    edge set so it mirrors the Spark side's full SEMANTIC family).
+    Every supplier node exists only as a supplied_by obj, so deriving
+    roots from edge dsts equals the Spark side's all-SUPPLIER-nodes
+    match; the layered graph (customer->order->part->supplier) drains
+    the reverse frontier exactly at hop 3. Termination: hops grows
+    monotonically, recursion bounded at hops < 3."""
+    body = f"""
+sem_edges AS (
+  SELECT DISTINCT subj AS src,
+         CASE WHEN pred IN {_ENTITY_PREDS} THEN obj
+              ELSE 'lit:' || obj END AS dst
+  FROM triples_canon
+),
+upstream AS (
+  SELECT dst AS root, dst AS node, 0 AS hops
+  FROM (SELECT DISTINCT dst FROM sem_edges WHERE dst LIKE 'supplier:%')
+  UNION
+  SELECT u.root, e.src, u.hops + 1
+  FROM upstream u JOIN sem_edges e ON e.dst = u.node
+  WHERE u.hops < 3
+),
+upstream_min AS (
+  SELECT root, node, MIN(hops) AS hops FROM upstream GROUP BY root, node
+)
+"""
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(
+            c.strip().strip(",")
+            for c in (_BASE_CTES, _TRIPLES_CTE, _TRIPLES_CANON_CTE, body)
+        )
+        + "\nSELECT CAST(hops AS INT) AS hops,"
+        "\n       CASE WHEN node LIKE 'lit:%' THEN 'LITERAL'"
+        "\n            ELSE UPPER(split_part(node, ':', 1)) END AS src_type,"
+        "\n       COUNT(*) AS n"
+        "\nFROM upstream_min WHERE hops >= 1 GROUP BY 1, 2"
+    )
+
+
 def gq_tool_callers_sql() -> str:
     """TURN(tool) -[TOOL_RESULT_OF {tool}]-> TURN grouped by (tool prop,
     caller role): the dst of a TOOL_RESULT_OF edge is the turn preceding

@@ -480,6 +480,29 @@ def q_gq_customer_orbit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gq_supplier_upstream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-query surface, variable-length traversal AGAINST edge
+    direction: everything within 1..3 reverse SEMANTIC hops of any
+    supplier entity — match SUPPLIER <-[*1..3 {rel_graph: SEMANTIC}]-
+    node, counted per (hops, source node type). Cypher's ``<-[:R*1..k]-``
+    (the reference's reverse-traversal query shape: 'which callers reach
+    this definition', the backward walk over CALLS/REFERS_TO edges that
+    DefinitionCache consumers issue). The semantic graph is layered
+    (customer -placed-> order -includes-> part -supplied_by-> supplier),
+    so the reverse frontier is PART at hop 1, ORDER at hop 2, CUSTOMER at
+    hop 3 — three BFS rounds, one deeper than the forward orbit gate, and
+    the frontier drains exactly at the bound (no truncation warning).
+    One count unit = one distinct (supplier root, upstream node) pair at
+    its min BFS distance."""
+    g = _property_graph(spark, sf_dir)
+    up = g.match("SUPPLIER").in_star(rel_graph="SEMANTIC", max_hops=3)
+    return (
+        up.df()
+        .groupBy("hops", F.col("node_type").alias("src_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def kg_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_transcripts": q_transcripts,
@@ -506,6 +529,7 @@ def kg_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_gq_entity_reach": q_gq_entity_reach,
         "kg_gq_assistant_mentions": q_gq_assistant_mentions,
         "kg_gq_customer_orbit": q_gq_customer_orbit,
+        "kg_gq_supplier_upstream": q_gq_supplier_upstream,
     }
 
 
@@ -537,4 +561,5 @@ def kg_oracles() -> dict[str, str]:
         "kg_gq_entity_reach": O.gq_entity_reach_sql(),
         "kg_gq_assistant_mentions": O.gq_assistant_mentions_sql(),
         "kg_gq_customer_orbit": O.gq_customer_orbit_sql(),
+        "kg_gq_supplier_upstream": O.gq_supplier_upstream_sql(),
     }

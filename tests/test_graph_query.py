@@ -1,6 +1,6 @@
 """Graph-query surface (graph/query.py): hop semantics vs direct joins,
 carry/edge-prop plumbing, family pruning, and plan hygiene. Value-level
-oracle parity for the three registered kg_gq_* queries runs in
+oracle parity for the five registered kg_gq_* queries runs in
 tools/check_correctness.py and the driver gate."""
 
 import pytest
@@ -213,6 +213,25 @@ def test_in_star_is_reverse_of_out_star(g):
     )
     assert fwd.count() == rev.count() > 0
     assert fwd.exceptAll(rev).count() == 0
+
+
+def test_in_star_registered_query_layers_and_plan(spark):
+    """kg_gq_supplier_upstream: the reverse walk lands on exactly one
+    node family per BFS level (part@1, order@2, customer@3 — the layered
+    semantic graph), drains without a truncation warning at max_hops=3,
+    and its plan has no cartesian."""
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        df = Q.q_gq_supplier_upstream(spark, SF)
+        rows = df.collect()
+        assert not any("truncated" in str(x.message) for x in w)
+    layers = {(r["hops"], r["src_type"]) for r in rows}
+    assert layers == {(1, "PART"), (2, "ORDER"), (3, "CUSTOMER")}, layers
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_star_refuses_map_typed_carry(g):
