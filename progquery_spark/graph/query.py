@@ -22,7 +22,11 @@ Design rules (the 100 TB contract):
   cartesian anywhere (plan-tested). On a warehouse bucketed by
   node_id/src_id the hop joins are shuffle-free.
 - Multiplicity is Cypher's MATCH: one row per traversed edge (aggregate
-  to dedup). Nothing collects to the driver; nothing is per-row Python.
+  to dedup); ``optional=True`` is OPTIONAL MATCH (one null row per
+  unmatched start, left-joining the edge+destination pattern as a unit)
+  and ``edge_where`` is the relationship predicate ``-[r:R WHERE r.p]->``
+  (filtered before the hop joins, so it pushes into the edge scans).
+  Nothing collects to the driver; nothing is per-row Python.
 """
 
 from __future__ import annotations
@@ -75,7 +79,8 @@ class NodeSet:
         return NodeSet(self._g, self._df.filter(cond))
 
     def out(
-        self, rel_type=None, rel_graph=None, into=None, carry=(), edge_props=()
+        self, rel_type=None, rel_graph=None, into=None, carry=(),
+        edge_props=(), edge_where=None, optional=False,
     ):
         """Follow edges src -> dst; the result set is the dst nodes.
 
@@ -86,17 +91,31 @@ class NodeSet:
         column. Likewise pass ``into`` (the destination node_type) when
         known: structural node families carry literal types, so the
         destination-side union prunes the same way (entity-family types
-        are data-borne and filter at runtime instead)."""
+        are data-borne and filter at runtime instead).
+
+        ``edge_where`` is Cypher's relationship predicate
+        (``-[r:R WHERE r.p]->``): an arbitrary Column over the edge frame
+        (``ordinal``, ``props['k']``, ...) applied BEFORE the hop joins,
+        so Catalyst pushes it into the edge-family scans. ``optional=True``
+        is Cypher's OPTIONAL MATCH: start rows whose pattern (edge AND
+        destination filters) finds no match survive as ONE row with null
+        destination/edge columns — count matches with ``F.count("node_id")``
+        (nulls excluded) vs rows with ``F.count(F.lit(1))``. Chaining a
+        further hop off an optional result drops the null rows (the next
+        hop's equi-join is null-rejecting), mirroring Cypher."""
         return self._hop(
-            "src_id", "dst_id", rel_type, rel_graph, into, carry, edge_props
+            "src_id", "dst_id", rel_type, rel_graph, into, carry,
+            edge_props, edge_where, optional,
         )
 
     def in_(
-        self, rel_type=None, rel_graph=None, into=None, carry=(), edge_props=()
+        self, rel_type=None, rel_graph=None, into=None, carry=(),
+        edge_props=(), edge_where=None, optional=False,
     ):
         """Follow edges dst -> src (the reverse direction)."""
         return self._hop(
-            "dst_id", "src_id", rel_type, rel_graph, into, carry, edge_props
+            "dst_id", "src_id", rel_type, rel_graph, into, carry,
+            edge_props, edge_where, optional,
         )
 
     def out_star(
@@ -107,6 +126,7 @@ class NodeSet:
         max_hops: int = 3,
         into=None,
         carry=(),
+        edge_where=None,
     ) -> "NodeSet":
         """Bounded variable-length traversal — Cypher's ``-[:R*m..k]->``
         (the reference's most-used query shape: transitive AST walks,
@@ -131,10 +151,13 @@ class NodeSet:
         context re-attaches by join afterwards, so duplicate contexts
         don't multiply traversal work. Truncation at ``max_hops`` with a
         non-empty frontier warns loudly (oracle divergence risk) instead
-        of silently dropping reachable nodes."""
+        of silently dropping reachable nodes. ``edge_where`` (Cypher's
+        ``-[r:R*m..k WHERE r.p]->``) filters the edge set ONCE before the
+        BFS — every traversed level crosses only predicate-passing
+        edges."""
         return self._star(
             "src_id", "dst_id", rel_type, rel_graph, min_hops, max_hops,
-            into, carry,
+            into, carry, edge_where,
         )
 
     def in_star(
@@ -145,18 +168,19 @@ class NodeSet:
         max_hops: int = 3,
         into=None,
         carry=(),
+        edge_where=None,
     ) -> "NodeSet":
         """Variable-length traversal AGAINST edge direction — Cypher's
         ``<-[:R*m..k]-``. Same min-distance BFS semantics as ``out_star``
         with src/dst swapped."""
         return self._star(
             "dst_id", "src_id", rel_type, rel_graph, min_hops, max_hops,
-            into, carry,
+            into, carry, edge_where,
         )
 
     def _star(
         self, here, there, rel_type, rel_graph, min_hops, max_hops, into,
-        carry,
+        carry, edge_where=None,
     ) -> "NodeSet":
         if not (0 <= min_hops <= max_hops) or max_hops < 1:
             raise ValueError(
@@ -168,6 +192,8 @@ class NodeSet:
             e = e.filter(F.col("rel_type") == rel_type)
         if rel_graph is not None:
             e = e.filter(F.col("rel_graph") == rel_graph)
+        if edge_where is not None:
+            e = e.filter(edge_where)
         edges = e.select(
             F.col(here).alias("__src"), F.col(there).alias("__dst")
         ).dropDuplicates(["__src", "__dst"])
@@ -259,12 +285,17 @@ class NodeSet:
         )
         return NodeSet(self._g, out)
 
-    def _hop(self, here, there, rel_type, rel_graph, into, carry, edge_props):
+    def _hop(
+        self, here, there, rel_type, rel_graph, into, carry, edge_props,
+        edge_where=None, optional=False,
+    ):
         e = self._g.edges
         if rel_type is not None:
             e = e.filter(F.col("rel_type") == rel_type)
         if rel_graph is not None:
             e = e.filter(F.col("rel_graph") == rel_graph)
+        if edge_where is not None:
+            e = e.filter(edge_where)
         kept = [c for c in self._df.columns if c.startswith(_RESERVED)]
         for c in carry:
             if f"src_{c}" in kept:
@@ -279,11 +310,20 @@ class NodeSet:
         )
         esel = [F.col(here).alias("__here"), F.col(there).alias("__there")]
         esel += [F.col("props")[p].alias(f"edge_{p}") for p in edge_props]
-        hop = left.join(e.select(*esel), "__here").drop("__here")
         dst = self._g.nodes
         if into is not None:
             dst = dst.filter(F.col("node_type") == into)
-        out = hop.join(dst, hop["__there"] == dst["node_id"]).drop("__there")
+        # edge ⋈ dst FIRST, then starts joined to the matched pattern:
+        # for inner hops the associativity is a no-op (Catalyst reorders
+        # anyway), but it is what makes OPTIONAL MATCH multiplicity right —
+        # a start whose edges ALL fail the dst filter gets one null row,
+        # not one per failed edge
+        matched = e.select(*esel).join(
+            dst, F.col("__there") == dst["node_id"]
+        ).drop("__there")
+        out = left.join(
+            matched, "__here", "left" if optional else "inner"
+        ).drop("__here")
         return NodeSet(self._g, out)
 
     def df(self) -> DataFrame:

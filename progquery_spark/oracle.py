@@ -861,6 +861,48 @@ upstream_min AS (
     )
 
 
+def gq_part_early_slots_sql() -> str:
+    """Relationship-predicate oracle (edge_where): ORDER -[includes WHERE
+    ordinal <= 2]-> PART counted per part. One count unit = one
+    materialized SEMANTIC edge, i.e. one distinct (subj, obj, ordinal)
+    tuple of the 'includes' pred after canonicalization (the C3 dedup
+    grain, materialize.build_edges: groupBy src/dst/rel_type/ordinal) —
+    NOT one per asserting mention."""
+    return _with(
+        _BASE_CTES,
+        _TRIPLES_CTE,
+        _TRIPLES_CANON_CTE,
+        select="""
+        SELECT obj AS part_key, COUNT(*) AS n
+        FROM (SELECT DISTINCT subj, obj, ordinal
+              FROM triples_canon
+              WHERE pred = 'includes' AND ordinal <= 2)
+        GROUP BY obj
+        """,
+    )
+
+
+def gq_turn_tool_coverage_sql() -> str:
+    """OPTIONAL MATCH oracle: per turn role, all turns (count(*)) vs
+    turns with an outgoing TOOL_RESULT_OF edge (count of matches). A
+    TOOL_RESULT_OF edge exists exactly for tool-role turns with a
+    predecessor (passes.flow_edges), and each such turn has exactly one,
+    so the left-join multiplicity is 1 row per turn either way."""
+    return (
+        duckdb_transcripts_cte()
+        + """
+        SELECT role, COUNT(*) AS n_turns,
+               CAST(SUM(CASE WHEN role = 'tool' AND pv IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_results
+        FROM (SELECT role,
+                     LAG(turn_idx) OVER (PARTITION BY conv_id
+                                         ORDER BY turn_idx) AS pv
+              FROM transcripts)
+        GROUP BY role
+        """
+    )
+
+
 def gq_tool_callers_sql() -> str:
     """TURN(tool) -[TOOL_RESULT_OF {tool}]-> TURN grouped by (tool prop,
     caller role): the dst of a TOOL_RESULT_OF edge is the turn preceding

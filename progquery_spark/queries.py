@@ -503,6 +503,56 @@ def q_gq_supplier_upstream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gq_part_early_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-query surface, relationship predicate: parts appearing in
+    the first two line slots of any order — match ORDER
+    -[includes WHERE ordinal <= 2]-> PART, counted per part. Cypher's
+    ``-[r:R WHERE r.p]->`` (the reference's property-qualified edge
+    matches: CFG_MAY_THROW filtered by exceptionType, switch dispatch by
+    caseIndex — ASTAuxiliarStorage.java:120-125, CFGVisitor.java:544-556).
+    The predicate is an arbitrary Column over the edge frame applied
+    BEFORE the hop joins, so it reaches the SEMANTIC family's C3-dedup
+    aggregate instead of filtering post-join; one count unit = one
+    materialized edge, i.e. one distinct (order, part, 'includes',
+    ordinal <= 2) tuple."""
+    g = _property_graph(spark, sf_dir)
+    hop = g.match("ORDER").out(
+        "includes",
+        rel_graph="SEMANTIC",
+        into="PART",
+        edge_where=F.col("ordinal") <= 2,
+    )
+    return (
+        hop.df()
+        .groupBy(F.col("canonical_key").alias("part_key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_gq_turn_tool_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-query surface, OPTIONAL MATCH: per turn role, how many turns
+    exist and how many of them produced a tool result — match TURN,
+    OPTIONAL MATCH (turn)-[TOOL_RESULT_OF]->(prev), group by the START
+    turn's role. Unmatched turns (every non-tool turn, plus a tool turn
+    opening its conversation) survive as one null-destination row, so
+    ``count(*)`` counts turns while ``count(node_id)`` counts matches —
+    the left-join query shape the reference's consumers use for coverage
+    audits ('which methods have NO incoming call edge'). The carried
+    start-role column rides the left join untouched."""
+    g = _property_graph(spark, sf_dir)
+    hop = g.match("TURN").out(
+        "TOOL_RESULT_OF", rel_graph="FLOW", carry=("name",), optional=True
+    )
+    return (
+        hop.df()
+        .groupBy(F.col("src_name").alias("role"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.count("node_id").alias("n_tool_results"),
+        )
+    )
+
+
 def kg_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_transcripts": q_transcripts,
@@ -530,6 +580,8 @@ def kg_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_gq_assistant_mentions": q_gq_assistant_mentions,
         "kg_gq_customer_orbit": q_gq_customer_orbit,
         "kg_gq_supplier_upstream": q_gq_supplier_upstream,
+        "kg_gq_part_early_slots": q_gq_part_early_slots,
+        "kg_gq_turn_tool_coverage": q_gq_turn_tool_coverage,
     }
 
 
@@ -562,4 +614,6 @@ def kg_oracles() -> dict[str, str]:
         "kg_gq_assistant_mentions": O.gq_assistant_mentions_sql(),
         "kg_gq_customer_orbit": O.gq_customer_orbit_sql(),
         "kg_gq_supplier_upstream": O.gq_supplier_upstream_sql(),
+        "kg_gq_part_early_slots": O.gq_part_early_slots_sql(),
+        "kg_gq_turn_tool_coverage": O.gq_turn_tool_coverage_sql(),
     }

@@ -1,6 +1,6 @@
 """Graph-query surface (graph/query.py): hop semantics vs direct joins,
 carry/edge-prop plumbing, family pruning, and plan hygiene. Value-level
-oracle parity for the five registered kg_gq_* queries runs in
+oracle parity for the seven registered kg_gq_* queries runs in
 tools/check_correctness.py and the driver gate."""
 
 import pytest
@@ -82,12 +82,14 @@ def test_carry_survives_second_hop_and_collision_raises(g):
 
 
 def test_registered_gq_plans_are_clean(spark):
-    """No cartesians / nested-loop joins anywhere in the three registered
-    graph-surface queries, and the FLOW-only query's plan does not touch
-    the alias map (rel_graph literal pruning: the LINK/SEMANTIC families
-    fold away, so the remap join never appears)."""
+    """No cartesians / nested-loop joins anywhere in the lazily-planned
+    registered graph-surface queries (the star queries have their own
+    plan test), and the FLOW-only query's plan does not touch the alias
+    map (rel_graph literal pruning: the LINK/SEMANTIC families fold
+    away, so the remap join never appears)."""
     for fn in (Q.q_gq_tool_callers, Q.q_gq_entity_reach,
-               Q.q_gq_assistant_mentions):
+               Q.q_gq_assistant_mentions, Q.q_gq_part_early_slots,
+               Q.q_gq_turn_tool_coverage):
         plan = _plan(fn(spark, SF))
         assert "CartesianProduct" not in plan, fn.__name__
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
@@ -232,6 +234,57 @@ def test_in_star_registered_query_layers_and_plan(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_edge_where_filters_before_hop(g):
+    """The relationship predicate restricts traversed edges: ordinal<=2
+    'includes' hops are a strict subset of the unfiltered hop, and every
+    surviving row crossed a qualifying edge (verified via the unfiltered
+    edge frame)."""
+    base = g.match("ORDER")
+    all_rows = base.out("includes", rel_graph="SEMANTIC").df().count()
+    low = base.out(
+        "includes", rel_graph="SEMANTIC", edge_where=F.col("ordinal") <= 2
+    ).df()
+    n_low = low.count()
+    assert 0 < n_low < all_rows
+    n_edges_low = g.edges.filter(
+        (F.col("rel_type") == "includes") & (F.col("ordinal") <= 2)
+    ).count()
+    assert n_low == n_edges_low
+
+
+def test_optional_hop_keeps_unmatched_starts_once(g):
+    """OPTIONAL MATCH: every start row survives; unmatched ones exactly
+    once with null destination columns; matched ones once per match."""
+    starts = g.match("TURN").df().count()
+    opt = g.match("TURN").out(
+        "TOOL_RESULT_OF", rel_graph="FLOW", carry=("name",), optional=True
+    ).df()
+    matched = opt.filter(F.col("node_id").isNotNull())
+    unmatched = opt.filter(F.col("node_id").isNull())
+    inner = g.match("TURN").out("TOOL_RESULT_OF", rel_graph="FLOW").df()
+    assert matched.count() == inner.count() > 0
+    assert unmatched.count() > 0
+    # 1:1 per-edge multiplicity here, so rows = starts exactly
+    assert opt.count() == starts
+    # the carried start column survives the left join on null rows too
+    assert unmatched.filter(F.col("src_name").isNull()).count() == 0
+    # non-tool turns can never match
+    assert unmatched.filter(F.col("src_name") == "user").count() > 0
+
+
+def test_optional_hop_with_into_yields_one_null_row_per_start(g):
+    """A destination filter no edge satisfies still leaves exactly one
+    null row per start (not one per failed edge) — the OPTIONAL MATCH
+    pattern is (edge AND destination), left-joined as a unit."""
+    starts = g.match("TURN", name="tool").df().count()
+    opt = g.match("TURN", name="tool").out(
+        "TOOL_RESULT_OF", rel_graph="FLOW", into="CONVERSATION",
+        optional=True,
+    ).df()
+    assert opt.count() == starts
+    assert opt.filter(F.col("node_id").isNotNull()).count() == 0
 
 
 def test_star_refuses_map_typed_carry(g):
