@@ -287,6 +287,26 @@ def test_optional_hop_with_into_yields_one_null_row_per_start(g):
     assert opt.filter(F.col("node_id").isNotNull()).count() == 0
 
 
+def test_star_edge_where_filters_every_level(g):
+    """edge_where on a star traversal restricts the BFS edge set once,
+    affecting every level: excluding ordinal-bearing edges (only the
+    'includes' family carries an ordinal) removes all PART destinations
+    from the 2-hop customer orbit while leaving hop-1 intact."""
+    full = g.match("CUSTOMER").out_star(rel_graph="SEMANTIC", max_hops=2).df()
+    no_ord = g.match("CUSTOMER").out_star(
+        rel_graph="SEMANTIC", max_hops=2,
+        edge_where=F.col("ordinal").isNull(),
+    ).df()
+    assert full.filter(F.col("node_type") == "PART").count() > 0
+    assert no_ord.filter(F.col("node_type") == "PART").count() == 0
+    assert 0 < no_ord.count() < full.count()
+    # hop-1 (placed/from_nation edges, all ordinal-less) is untouched
+    assert (
+        no_ord.filter(F.col("hops") == 1).count()
+        == full.filter(F.col("hops") == 1).count()
+    )
+
+
 def test_star_refuses_map_typed_carry(g):
     """Carrying a map (legal on single hops) would die inside the BFS
     start-set dedup with a cryptic Spark set-op error — refuse clearly."""
