@@ -273,7 +273,10 @@ class NodeSet:
                     "reachable nodes beyond the bound are missing from "
                     "the result (raise max_hops or expect oracle "
                     "divergence)",
-                    stacklevel=2,
+                    # warn is 2 frames below the user's call site
+                    # (out_star/in_star -> _star), so 3 attributes the
+                    # warning to THEIR line, not the wrapper's
+                    stacklevel=3,
                 )
         hits = reached.filter(F.col("hops") >= min_hops)
         dst = self._g.nodes
@@ -302,6 +305,15 @@ class NodeSet:
                 raise ValueError(
                     f"carry collision: src_{c} already carried by an "
                     "earlier hop — alias it before carrying again"
+                )
+        for p in edge_props:
+            if f"edge_{p}" in kept:
+                # same failure mode as the carry collision: a duplicate
+                # edge_<p> column dies later with Spark's opaque
+                # AMBIGUOUS_REFERENCE on first use
+                raise ValueError(
+                    f"edge-prop collision: edge_{p} already surfaced by "
+                    "an earlier hop — alias it before requesting it again"
                 )
         left = self._df.select(
             F.col("node_id").alias("__here"),

@@ -541,7 +541,8 @@ def q_gq_turn_tool_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     start-role column rides the left join untouched."""
     g = _property_graph(spark, sf_dir)
     hop = g.match("TURN").out(
-        "TOOL_RESULT_OF", rel_graph="FLOW", carry=("name",), optional=True
+        "TOOL_RESULT_OF", rel_graph="FLOW", into="TURN", carry=("name",),
+        optional=True,
     )
     return (
         hop.df()

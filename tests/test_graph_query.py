@@ -79,14 +79,22 @@ def test_carry_survives_second_hop_and_collision_raises(g):
         g.match("CONVERSATION").out(
             "HAS_TURN", carry=("conv_id",)
         ).out("HAS_MENTION", carry=("conv_id",))
+    # the edge-prop twin of the same failure mode
+    with pytest.raises(ValueError, match="edge-prop collision"):
+        g.match("TURN").out(
+            "NEXT_TURN", rel_graph="FLOW", edge_props=("gap_s",)
+        ).out("NEXT_TURN", rel_graph="FLOW", edge_props=("gap_s",))
 
 
 def test_registered_gq_plans_are_clean(spark):
     """No cartesians / nested-loop joins anywhere in the lazily-planned
     registered graph-surface queries (the star queries have their own
-    plan test), and the FLOW-only query's plan does not touch the alias
-    map (rel_graph literal pruning: the LINK/SEMANTIC families fold
-    away, so the remap join never appears)."""
+    plan test). Family pruning itself is regression-guarded by operator
+    counts in test_rel_graph_and_into_literals_prune_families — note it
+    prunes the EDGE side fully (rel_graph literals fold whole families)
+    while the node side keeps the entity family's runtime filter (its
+    node_type is data-borne), so checkpoint scans can legitimately
+    remain in a FLOW-only plan."""
     for fn in (Q.q_gq_tool_callers, Q.q_gq_entity_reach,
                Q.q_gq_assistant_mentions, Q.q_gq_part_early_slots,
                Q.q_gq_turn_tool_coverage):
