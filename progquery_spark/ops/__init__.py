@@ -17,19 +17,19 @@ import time
 
 
 def all_queries():
-    from . import dedup, events, multimodal, similarity, text
+    from . import dedup, events, multimodal, sampling, similarity, text
 
     out = {}
-    for mod in (text, dedup, similarity, multimodal, events):
+    for mod in (text, dedup, similarity, multimodal, events, sampling):
         out.update(mod.queries())
     return out
 
 
 def all_oracles():
-    from . import dedup, events, multimodal, similarity, text
+    from . import dedup, events, multimodal, sampling, similarity, text
 
     out = {}
-    for mod in (text, dedup, similarity, multimodal, events):
+    for mod in (text, dedup, similarity, multimodal, events, sampling):
         out.update(mod.oracles())
     return out
 

@@ -1,0 +1,225 @@
+"""Deterministic corpus sampling and sequence packing (training-data ops).
+
+Three operations every large-scale pretraining pipeline runs between
+dedup and tokenization, each expressed as pure map-side / single-shuffle
+DataFrame plans with exact DuckDB oracles:
+
+- ``assign_split``: leakage-free train/holdout assignment keyed ONLY on
+  the stable document id — ``(a * (doc_id % M) + b) % M`` under the
+  frozen LCG pool (hashing._A/_B), holdout iff ``key % 1000 <
+  permille``. No RNG state, no ``rand()``: the split is reproducible
+  across runs, engines, and cluster sizes, and re-deriving it later for
+  any single doc needs no join (the property that makes contamination
+  audits O(1) per example). Reference analog: deterministic program-node
+  ids making re-runs attach instead of duplicate
+  (CompilationScheduler.java:47-60, MERGING_ALLOWED).
+
+- ``sample_stratified``: per-language quota sampling (the multilingual
+  re-balance: down-weight the dominant language, keep low-resource ones)
+  with an INDEPENDENT hash pair, so sampling composes with the split
+  without correlation — a doc's holdout fate never biases its sampling
+  fate. Rates are data (permille per stratum), arithmetic is the same
+  field math.
+
+- ``pack_documents``: greedy concat-and-chunk sequence packing — the
+  standard pretraining shape: concatenate documents in a deterministic
+  pseudo-random order, then cut at a fixed token budget; ``pack_id =
+  start_off DIV budget`` via one window cumsum. Distributed form:
+  documents hash into ``n_buckets`` independent streams (ONE shuffle, on
+  the bucket key), each bucket packs locally under a window sort. The
+  bucket count is the parallelism knob: at 10^12 tokens, n_buckets
+  scales with the corpus so per-bucket state stays executor-sized, and
+  the pack stream stays byte-identical for a fixed (seed pool, bucket
+  count) regardless of cluster size — cross-run determinism the usual
+  repartition+zipWithIndex packing does NOT have.
+
+All three are ANSI-safe: ids are reduced into the 2^31-1 field BEFORE
+the multiply, so ``a * (id % M) + b < 2^62`` for any 64-bit doc_id.
+
+100 TB plan shapes: split and sample are pure projections (no shuffle,
+no UDF — whole-stage codegen end to end; the filter pushes to the scan
+column-pruned to (doc_id, lang)). Packing is one hash-partition shuffle
+plus a per-bucket window sort — the same budget as any groupBy at equal
+key cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..hashing import _A, _B, _M
+from ..session import register_sf_views
+
+# Frozen pool indices — one independent (a, b) pair per concern, so the
+# three keyings are pairwise-uncorrelated permutations of the id space.
+_SPLIT_A, _SPLIT_B = _A[24], _B[24]
+_SAMP_A, _SAMP_B = _A[25], _B[25]
+_PACK_A, _PACK_B = _A[26], _B[26]
+
+#: holdout quota, permille of the corpus
+HOLDOUT_PERMILLE = 50
+#: per-language keep quotas, permille (multilingual re-balance: the
+#: dominant language down-sampled, low-resource languages kept whole)
+LANG_RATES = {"en": 300, "de": 900, "es": 900, "fr": 900, "zh": 900}
+#: keep-rate for languages outside the table
+DEFAULT_RATE_PERMILLE = 1000
+#: tokens per packed sequence (whitespace tokens at gate scale; swap the
+#: token column for a real tokenizer count in production)
+PACK_BUDGET = 512
+#: independent packing streams (the parallelism knob; fixed => the pack
+#: assignment is identical at any cluster size)
+PACK_BUCKETS = 4
+
+
+def _key(id_col, a: int, b: int):
+    """(a * (id % M) + b) % M — uniform deterministic key in the field,
+    overflow-safe under ANSI for any 64-bit id (product < 2^62)."""
+    return (F.lit(a) * (id_col % F.lit(_M)) + F.lit(b)) % F.lit(_M)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_sf_views(spark, sf_dir)
+    return spark.table("documents")
+
+
+def assign_split(docs: DataFrame, holdout_permille: int = HOLDOUT_PERMILLE) -> DataFrame:
+    """(doc_id, split) with split in {'train', 'holdout'}, keyed only on
+    doc_id. Pure projection — composes onto any (doc_id, ...) frame."""
+    k = _key(F.col("doc_id"), _SPLIT_A, _SPLIT_B)
+    return docs.select(
+        "doc_id",
+        F.when(k % 1000 < holdout_permille, F.lit("holdout"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def sample_stratified(
+    docs: DataFrame, rates: dict[str, int] | None = None
+) -> DataFrame:
+    """Kept (doc_id, lang) rows under per-language permille quotas.
+    Independent hash pair from the split keying (see module docstring)."""
+    rates = LANG_RATES if rates is None else rates
+    k = _key(F.col("doc_id"), _SAMP_A, _SAMP_B)
+    rate = F.lit(DEFAULT_RATE_PERMILLE)
+    for lang, pm in sorted(rates.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(pm)).otherwise(rate)
+    return docs.filter(k % 1000 < rate).select("doc_id", "lang")
+
+
+def pack_documents(
+    docs: DataFrame,
+    budget: int = PACK_BUDGET,
+    n_buckets: int = PACK_BUCKETS,
+) -> DataFrame:
+    """Per-document pack assignment: (doc_id, bucket, pack_id, start_off,
+    n_tokens). Greedy concat-and-chunk within each of ``n_buckets``
+    deterministic streams; a document straddling a budget boundary
+    belongs to the pack its first token lands in (concatenate-then-cut
+    semantics — the pretraining norm, not bin packing)."""
+    k = _key(F.col("doc_id"), _PACK_A, _PACK_B)
+    toks = docs.select(
+        "doc_id",
+        (k % n_buckets).alias("bucket"),
+        k.alias("okey"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("okey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return toks.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long")).alias(
+            "start_off"
+        ),
+    ).withColumn("pack_id", F.expr(f"start_off DIV {budget}"))
+
+
+# --- registered gate queries -------------------------------------------------
+
+
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split doc and token totals — the contamination-audit view of
+    the deterministic holdout assignment."""
+    d = _docs(spark, sf_dir)
+    sp = assign_split(d)
+    joined = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("t")
+    ).join(sp, "doc_id")
+    return joined.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("t").alias("sum_ws_tokens"),
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kept set under the language quotas — per-doc output, so the
+    gate certifies every keep/drop decision, not just the totals."""
+    return sample_stratified(_docs(spark, sf_dir))
+
+
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack composition: (bucket, pack_id, n_docs, sum_tokens) — the
+    window cumsum and chunk arithmetic certified against DuckDB's."""
+    return (
+        pack_documents(_docs(spark, sf_dir))
+        .groupBy("bucket", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )
+
+
+def queries():
+    return {
+        "sample_split": q_sample_split,
+        "sample_stratified": q_sample_stratified,
+        "pack_documents": q_pack_documents,
+    }
+
+
+def oracles():
+    rate_case = "CASE " + " ".join(
+        f"WHEN lang = '{lang}' THEN {pm}" for lang, pm in sorted(LANG_RATES.items())
+    ) + f" ELSE {DEFAULT_RATE_PERMILLE} END"
+    return {
+        "sample_split": f"""
+        SELECT split, COUNT(*) AS n_docs,
+               CAST(SUM(t) AS BIGINT) AS sum_ws_tokens
+        FROM (SELECT CASE WHEN ({_SPLIT_A} * (doc_id % {_M}) + {_SPLIT_B})
+                               % {_M} % 1000 < {HOLDOUT_PERMILLE}
+                          THEN 'holdout' ELSE 'train' END AS split,
+                     len(string_split(text, ' ')) AS t
+              FROM documents)
+        GROUP BY split
+        """,
+        "sample_stratified": f"""
+        SELECT doc_id, lang FROM documents
+        WHERE ({_SAMP_A} * (doc_id % {_M}) + {_SAMP_B}) % {_M} % 1000
+              < ({rate_case})
+        """,
+        "pack_documents": f"""
+        SELECT bucket, start_off // {PACK_BUDGET} AS pack_id,
+               COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        FROM (
+          SELECT bucket, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY bucket ORDER BY okey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS start_off
+          FROM (SELECT doc_id,
+                       ({_PACK_A} * (doc_id % {_M}) + {_PACK_B}) % {_M}
+                         AS okey,
+                       ({_PACK_A} * (doc_id % {_M}) + {_PACK_B}) % {_M}
+                         % {PACK_BUCKETS} AS bucket,
+                       len(string_split(text, ' ')) AS n_tokens
+                FROM documents))
+        GROUP BY bucket, pack_id
+        """,
+    }

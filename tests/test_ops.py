@@ -840,3 +840,97 @@ def test_simhash64_signature_and_pairs(spark):
     # hamming-0 under one pool does not imply hamming-0 under the other
     # in either direction (observed both ways at fixture scale). Exact
     # semantics are certified by the DuckDB oracle instead.
+
+
+def test_sampling_split_deterministic_and_uncorrelated(spark):
+    """Split is exhaustive/disjoint, reproducible, keyed only on doc_id;
+    sampling uses an independent hash pair so the two decisions compose
+    without bias (the kept set's holdout fraction tracks the corpus's)."""
+    import pyspark.sql.functions as F
+
+    from progquery_spark.ops import sampling
+
+    d = sampling._docs(spark, SF)
+    n = d.count()
+    sp1 = sampling.assign_split(d)
+    sp2 = sampling.assign_split(d)
+    assert sp1.count() == n
+    assert sp1.exceptAll(sp2).count() == 0  # deterministic rerun
+    counts = {r["split"]: r["n"] for r in
+              sp1.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "holdout"} and sum(counts.values()) == n
+    # independence: the sampled subset is not split-skewed (coarse bound)
+    kept = sampling.sample_stratified(d)
+    frac_all = counts["holdout"] / n
+    kh = kept.join(sp1, "doc_id").filter(F.col("split") == "holdout").count()
+    frac_kept = kh / kept.count()
+    assert abs(frac_kept - frac_all) < 0.1
+
+
+def test_sampling_stratified_respects_language_quotas(spark):
+    """The dominant language is down-sampled, low-resource languages kept
+    nearly whole — per-language keep fractions land near their permille
+    quotas."""
+    import pyspark.sql.functions as F
+
+    from progquery_spark.ops import sampling
+
+    d = sampling._docs(spark, SF)
+    tot = {r["lang"]: r["n"] for r in
+           d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept = {r["lang"]: r["n"] for r in
+            sampling.sample_stratified(d).groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, pm in sampling.LANG_RATES.items():
+        if tot.get(lang, 0) < 10:
+            continue  # too small for a fraction check
+        frac = kept.get(lang, 0) / tot[lang]
+        assert abs(frac - pm / 1000) < 0.25, (lang, frac, pm)
+    assert kept.get("en", 0) / tot["en"] < 0.6  # dominant lang down-weighted
+
+
+def test_sampling_pack_documents_invariants(spark):
+    """Concat-and-chunk packing: every doc assigned exactly once, each
+    bucket's stream starts at offset 0 with contiguous cumulative
+    offsets, pack_id is exactly start_off DIV budget, and the plan
+    shuffles once (the bucket hash partition) with no extra exchange."""
+    import pyspark.sql.functions as F
+
+    from progquery_spark.ops import sampling
+
+    d = sampling._docs(spark, SF)
+    packed = sampling.pack_documents(d)
+    # one shuffle: the bucket hash partition. Plan read BEFORE execution
+    # and in simple mode — either relaxation makes AQE print final AND
+    # initial trees, double-counting every node.
+    plan = packed._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"))
+    assert plan.count("Exchange") == 1, plan
+    rows = packed.collect()
+    assert len(rows) == d.count()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert len(by_bucket) == sampling.PACK_BUCKETS
+    for bucket, rs in by_bucket.items():
+        rs.sort(key=lambda r: r["start_off"])
+        assert rs[0]["start_off"] == 0
+        run = 0
+        for r in rs:
+            assert r["start_off"] == run  # contiguous stream
+            assert r["pack_id"] == r["start_off"] // sampling.PACK_BUDGET
+            run += r["n_tokens"]
+
+
+def test_sampling_split_and_sample_plans_are_shuffle_free(spark):
+    """Split assignment and stratified sampling are pure projections —
+    zero exchanges, so at 100 TB they ride the scan."""
+    from progquery_spark.ops import sampling
+
+    d = sampling._docs(spark, SF)
+    for df in (sampling.assign_split(d), sampling.sample_stratified(d)):
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"))
+        assert "Exchange" not in plan, plan
