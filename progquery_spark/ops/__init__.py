@@ -39,13 +39,14 @@ def bench_ops(spark, sf_dir: str) -> dict[str, float]:
     from . import dedup, events, similarity
 
     timings = {}
-    from . import text
+    from . import sampling, text
 
     for name, fn in (
         ("op_dedup_minhash", dedup.q_dedup_minhash_lsh),
         ("op_ann_topk", similarity.q_ann_topk),
         ("op_sessionize", events.q_events_sessionized),
         ("op_tokens_fast", text.q_text_tokens_fast),
+        ("op_pack_documents", sampling.q_pack_documents),
     ):
         t = time.time()
         fn(spark, sf_dir).count()
