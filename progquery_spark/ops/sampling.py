@@ -163,11 +163,20 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_stratified(_docs(spark, sf_dir))
 
 
-def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_pack_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = PACK_BUDGET,
+    n_buckets: int = PACK_BUCKETS,
+) -> DataFrame:
     """Pack composition: (bucket, pack_id, n_docs, sum_tokens) — the
-    window cumsum and chunk arithmetic certified against DuckDB's."""
+    window cumsum and chunk arithmetic certified against DuckDB's.
+    ``n_buckets`` is the documented scale knob: the default matches the
+    gate oracle; corpus-scale runs must raise it so per-bucket window
+    state stays executor-sized (tools/ops_scale.py tracks ~1 bucket per
+    50k docs)."""
     return (
-        pack_documents(_docs(spark, sf_dir))
+        pack_documents(_docs(spark, sf_dir), budget=budget, n_buckets=n_buckets)
         .groupBy("bucket", "pack_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -212,9 +212,17 @@ def probe(corpus: str) -> None:
     spark.stop()
 
 
+def _pack_buckets(spark, corpus: str) -> int:
+    """Corpus-tracking packing parallelism: ~1 stream per 50k docs (the
+    documented n_buckets scale knob — 4 gate buckets at 2M docs would
+    serialize the window sort into 4 executor-crushing partitions)."""
+    n = spark.read.parquet(f"{corpus}/documents.parquet").count()
+    return max(4, n // 50_000)
+
+
 def run(corpus: str, cpus: int, only: set[str]) -> None:
     sys.path.insert(0, "/root/repo")
-    from progquery_spark.ops import dedup, similarity, text
+    from progquery_spark.ops import dedup, sampling, similarity, text
     from progquery_spark.session import get_spark
 
     spark = get_spark(f"ops-scale-{cpus}", master=f"local[{cpus}]",
@@ -227,6 +235,13 @@ def run(corpus: str, cpus: int, only: set[str]) -> None:
         "text_langid": lambda: text.q_text_langid(spark, corpus),
         "text_fingerprint": lambda: text.q_text_fingerprint(spark, corpus),
         "text_fingerprint_long": lambda: text.q_text_fingerprint_long(spark, corpus),
+        "sample_split": lambda: sampling.q_sample_split(spark, corpus),
+        "sample_stratified": lambda: sampling.q_sample_stratified(spark, corpus),
+        # bucket count tracks the corpus (the documented knob) so the
+        # per-bucket window stays executor-sized
+        "pack_documents": lambda: sampling.q_pack_documents(
+            spark, corpus, n_buckets=_pack_buckets(spark, corpus)
+        ),
         "dedup_exact": lambda: dedup.q_dedup_exact(spark, corpus),
         "dedup_ngram_jaccard": lambda: dedup.q_dedup_ngram_jaccard(spark, corpus),
         "dedup_minhash_lsh": lambda: dedup.q_dedup_minhash_lsh(spark, corpus),
