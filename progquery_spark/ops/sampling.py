@@ -83,13 +83,29 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("documents")
 
 
+def is_holdout(holdout_permille: int = HOLDOUT_PERMILLE):
+    """Boolean Column: this row's doc_id falls in the holdout quota.
+    A PREDICATE, not a frame — compose it with ``filter`` so the split
+    rides the scan instead of round-tripping through a self-join."""
+    return _key(F.col("doc_id"), _SPLIT_A, _SPLIT_B) % 1000 < holdout_permille
+
+
+def keeps_stratified(rates: dict[str, int] | None = None):
+    """Boolean Column: this row survives its language's permille quota
+    (independent hash pair from the split — see module docstring)."""
+    rates = LANG_RATES if rates is None else rates
+    rate = F.lit(DEFAULT_RATE_PERMILLE)
+    for lang, pm in sorted(rates.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(pm)).otherwise(rate)
+    return _key(F.col("doc_id"), _SAMP_A, _SAMP_B) % 1000 < rate
+
+
 def assign_split(docs: DataFrame, holdout_permille: int = HOLDOUT_PERMILLE) -> DataFrame:
     """(doc_id, split) with split in {'train', 'holdout'}, keyed only on
     doc_id. Pure projection — composes onto any (doc_id, ...) frame."""
-    k = _key(F.col("doc_id"), _SPLIT_A, _SPLIT_B)
     return docs.select(
         "doc_id",
-        F.when(k % 1000 < holdout_permille, F.lit("holdout"))
+        F.when(is_holdout(holdout_permille), F.lit("holdout"))
         .otherwise(F.lit("train"))
         .alias("split"),
     )
@@ -98,14 +114,8 @@ def assign_split(docs: DataFrame, holdout_permille: int = HOLDOUT_PERMILLE) -> D
 def sample_stratified(
     docs: DataFrame, rates: dict[str, int] | None = None
 ) -> DataFrame:
-    """Kept (doc_id, lang) rows under per-language permille quotas.
-    Independent hash pair from the split keying (see module docstring)."""
-    rates = LANG_RATES if rates is None else rates
-    k = _key(F.col("doc_id"), _SAMP_A, _SAMP_B)
-    rate = F.lit(DEFAULT_RATE_PERMILLE)
-    for lang, pm in sorted(rates.items()):
-        rate = F.when(F.col("lang") == lang, F.lit(pm)).otherwise(rate)
-    return docs.filter(k % 1000 < rate).select("doc_id", "lang")
+    """Kept (doc_id, lang) rows under per-language permille quotas."""
+    return docs.filter(keeps_stratified(rates)).select("doc_id", "lang")
 
 
 def pack_documents(
@@ -185,19 +195,97 @@ def q_pack_documents(
     )
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed between-crawl-and-tokenizer chain as ONE Catalyst
+    plan: exact-dedup the clone-augmented corpus (datagen's shared
+    duplicate view — clones lose to their originals), keep the train
+    side of the deterministic split, apply the language quotas, pack the
+    survivors. Output is the final pack composition. What this gate
+    certifies beyond the per-op gates: the ops COMPOSE — the packing
+    stream is computed over the filtered corpus (offsets restart from
+    the survivors, not the full table) and DuckDB replays the whole
+    chain to the same values. Split and sample enter as PREDICATES
+    (is_holdout / keeps_stratified), not self-joins, so they ride the
+    scan: the chain's only wide stages are the dedup content-hash
+    window, the keeper join, and the pack bucket window + final
+    aggregate."""
+    from ..datagen import build_documents_with_dups
+    from .dedup import dedup_exact_frame
+
+    dups = build_documents_with_dups(spark, sf_dir)
+    keepers = (
+        dedup_exact_frame(dups).filter(~F.col("is_dup")).select("doc_id")
+    )
+    kept = _docs(spark, sf_dir).join(keepers, "doc_id")
+    survivors = kept.filter(~is_holdout() & keeps_stratified())
+    return (
+        pack_documents(survivors)
+        .groupBy("bucket", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )
+
+
 def queries():
     return {
         "sample_split": q_sample_split,
         "sample_stratified": q_sample_stratified,
         "pack_documents": q_pack_documents,
+        "corpus_pipeline": q_corpus_pipeline,
     }
 
 
 def oracles():
+    from ..datagen import documents_with_dups_select
+
     rate_case = "CASE " + " ".join(
         f"WHEN lang = '{lang}' THEN {pm}" for lang, pm in sorted(LANG_RATES.items())
     ) + f" ELSE {DEFAULT_RATE_PERMILLE} END"
+    corpus_pipeline = f"""
+        WITH dups AS ({documents_with_dups_select()}),
+        keepers AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS k
+            FROM dups) WHERE doc_id = k
+        ),
+        kept AS (
+          SELECT d.doc_id, d.text, d.lang
+          FROM documents d JOIN keepers USING (doc_id)
+        ),
+        train AS (
+          SELECT * FROM kept
+          WHERE ({_SPLIT_A} * (doc_id % {_M}) + {_SPLIT_B}) % {_M} % 1000
+                >= {HOLDOUT_PERMILLE}
+        ),
+        samp AS (
+          SELECT * FROM train
+          WHERE ({_SAMP_A} * (doc_id % {_M}) + {_SAMP_B}) % {_M} % 1000
+                < ({rate_case})
+        ),
+        toks AS (
+          SELECT doc_id,
+                 ({_PACK_A} * (doc_id % {_M}) + {_PACK_B}) % {_M} AS okey,
+                 ({_PACK_A} * (doc_id % {_M}) + {_PACK_B}) % {_M}
+                   % {PACK_BUCKETS} AS bucket,
+                 len(string_split(text, ' ')) AS n_tokens
+          FROM samp
+        ),
+        offs AS (
+          SELECT bucket, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY bucket ORDER BY okey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS start_off
+          FROM toks
+        )
+        SELECT bucket, start_off // {PACK_BUDGET} AS pack_id,
+               COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        FROM offs GROUP BY bucket, pack_id
+        """
     return {
+        "corpus_pipeline": corpus_pipeline,
         "sample_split": f"""
         SELECT split, COUNT(*) AS n_docs,
                CAST(SUM(t) AS BIGINT) AS sum_ws_tokens

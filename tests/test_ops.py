@@ -934,3 +934,35 @@ def test_sampling_split_and_sample_plans_are_shuffle_free(spark):
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"))
         assert "Exchange" not in plan, plan
+
+
+def test_sampling_corpus_pipeline_composition(spark):
+    """The composed chain equals its step-by-step form, and the plan
+    holds at 4 exchanges — split/sample enter as predicates riding the
+    scan (the 17-exchange self-join draft is the regression this
+    guards)."""
+    import pyspark.sql.functions as F
+
+    from progquery_spark.ops import sampling
+
+    df = sampling.q_corpus_pipeline(spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"))
+    assert plan.count("Exchange") <= 4, plan
+    # step-by-step reference: survivors built with the frame-level ops
+    d = sampling._docs(spark, SF)
+    sp = sampling.assign_split(d).filter(F.col("split") == "train")
+    sm = sampling.sample_stratified(d).select("doc_id")
+    survivors = d.join(sp, "doc_id").join(sm, "doc_id")
+    expect = (
+        sampling.pack_documents(survivors)
+        .groupBy("bucket", "pack_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("sum_tokens"))
+    )
+    # dedup keeps every base doc at gate scale (clones lose, the base
+    # table has no exact dups), so the composed form must equal the
+    # join-built form exactly
+    assert df.exceptAll(expect).count() == 0
+    assert expect.exceptAll(df).count() == 0
