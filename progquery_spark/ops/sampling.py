@@ -195,7 +195,12 @@ def q_pack_documents(
     )
 
 
-def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_corpus_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = PACK_BUDGET,
+    n_buckets: int = PACK_BUCKETS,
+) -> DataFrame:
     """The composed between-crawl-and-tokenizer chain as ONE Catalyst
     plan: exact-dedup the clone-augmented corpus (datagen's shared
     duplicate view — clones lose to their originals), keep the train
@@ -219,7 +224,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = _docs(spark, sf_dir).join(keepers, "doc_id")
     survivors = kept.filter(~is_holdout() & keeps_stratified())
     return (
-        pack_documents(survivors)
+        pack_documents(survivors, budget=budget, n_buckets=n_buckets)
         .groupBy("bucket", "pack_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -242,6 +242,9 @@ def run(corpus: str, cpus: int, only: set[str]) -> None:
         "pack_documents": lambda: sampling.q_pack_documents(
             spark, corpus, n_buckets=_pack_buckets(spark, corpus)
         ),
+        "corpus_pipeline": lambda: sampling.q_corpus_pipeline(
+            spark, corpus, n_buckets=_pack_buckets(spark, corpus)
+        ),
         "dedup_exact": lambda: dedup.q_dedup_exact(spark, corpus),
         "dedup_ngram_jaccard": lambda: dedup.q_dedup_ngram_jaccard(spark, corpus),
         "dedup_minhash_lsh": lambda: dedup.q_dedup_minhash_lsh(spark, corpus),
