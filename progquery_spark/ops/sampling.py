@@ -83,6 +83,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("documents")
 
 
+def passes_quality(min_tokens: int = 20):
+    """Boolean Column: the text_quality band floor — drop 'low'
+    (n_tokens < 20, ops.text.q_text_quality's band rule), i.e. the
+    canonical too-short filter. Same token arithmetic as the gated
+    text_tokens/text_quality ops, so the pipeline's quality leg is the
+    already-certified expression, not a parallel definition."""
+    return F.size(F.split("text", " ")) >= min_tokens
+
+
 def is_holdout(holdout_permille: int = HOLDOUT_PERMILLE):
     """Boolean Column: this row's doc_id falls in the holdout quota.
     A PREDICATE, not a frame — compose it with ``filter`` so the split
@@ -203,8 +212,9 @@ def q_corpus_pipeline(
 ) -> DataFrame:
     """The composed between-crawl-and-tokenizer chain as ONE Catalyst
     plan: exact-dedup the clone-augmented corpus (datagen's shared
-    duplicate view — clones lose to their originals), keep the train
-    side of the deterministic split, apply the language quotas, pack the
+    duplicate view — clones lose to their originals), drop 'low'-band
+    documents (the text_quality too-short floor), keep the train side of
+    the deterministic split, apply the language quotas, pack the
     survivors. Output is the final pack composition. What this gate
     certifies beyond the per-op gates: the ops COMPOSE — the packing
     stream is computed over the filtered corpus (offsets restart from
@@ -222,7 +232,9 @@ def q_corpus_pipeline(
         dedup_exact_frame(dups).filter(~F.col("is_dup")).select("doc_id")
     )
     kept = _docs(spark, sf_dir).join(keepers, "doc_id")
-    survivors = kept.filter(~is_holdout() & keeps_stratified())
+    survivors = kept.filter(
+        passes_quality() & ~is_holdout() & keeps_stratified()
+    )
     return (
         pack_documents(survivors, budget=budget, n_buckets=n_buckets)
         .groupBy("bucket", "pack_id")
@@ -259,8 +271,11 @@ def oracles():
           SELECT d.doc_id, d.text, d.lang
           FROM documents d JOIN keepers USING (doc_id)
         ),
+        quality AS (
+          SELECT * FROM kept WHERE len(string_split(text, ' ')) >= 20
+        ),
         train AS (
-          SELECT * FROM kept
+          SELECT * FROM quality
           WHERE ({_SPLIT_A} * (doc_id % {_M}) + {_SPLIT_B}) % {_M} % 1000
                 >= {HOLDOUT_PERMILLE}
         ),

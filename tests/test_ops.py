@@ -951,7 +951,7 @@ def test_sampling_corpus_pipeline_composition(spark):
             "simple"))
     assert plan.count("Exchange") <= 4, plan
     # step-by-step reference: survivors built with the frame-level ops
-    d = sampling._docs(spark, SF)
+    d = sampling._docs(spark, SF).filter(sampling.passes_quality())
     sp = sampling.assign_split(d).filter(F.col("split") == "train")
     sm = sampling.sample_stratified(d).select("doc_id")
     survivors = d.join(sp, "doc_id").join(sm, "doc_id")
