@@ -38,6 +38,14 @@ from pyspark.sql import functions as F
 _RESERVED = ("src_", "edge_")
 
 
+def _filter_type(df: DataFrame, node_type) -> DataFrame:
+    """node_type equality, or Cypher's multi-label ``(n:A|B)`` when given
+    a list/tuple — both constant-fold literal-typed families."""
+    if isinstance(node_type, (list, tuple, set)):
+        return df.filter(F.col("node_type").isin(*sorted(node_type)))
+    return df.filter(F.col("node_type") == node_type)
+
+
 class PropertyGraph:
     """Entry point: wraps the (nodes, edges) frames ``build_nodes`` /
     ``build_edges`` (+ ``flow_edges`` etc.) produce."""
@@ -48,15 +56,19 @@ class PropertyGraph:
 
     def match(
         self,
-        node_type: str | None = None,
+        node_type: str | list[str] | tuple[str, ...] | None = None,
         name: str | None = None,
         where=None,
     ) -> "NodeSet":
         """Select a starting node set by type / name / arbitrary Column
-        predicate (use ``F.col("props")["k"]`` for property matches)."""
+        predicate (use ``F.col("props")["k"]`` for property matches).
+        ``node_type`` also takes a list/tuple — Cypher's multi-label
+        pattern ``(n:A|B)``; the isin over literals constant-folds
+        non-matching literal-typed families exactly like the single-type
+        equality does."""
         df = self.nodes
         if node_type is not None:
-            df = df.filter(F.col("node_type") == node_type)
+            df = _filter_type(df, node_type)
         if name is not None:
             df = df.filter(F.col("name") == name)
         if where is not None:
@@ -281,7 +293,7 @@ class NodeSet:
         hits = reached.filter(F.col("hops") >= min_hops)
         dst = self._g.nodes
         if into is not None:
-            dst = dst.filter(F.col("node_type") == into)
+            dst = _filter_type(dst, into)
         joined = hits.join(starts, "__root").drop("__root")
         out = joined.join(dst, joined["__node"] == dst["node_id"]).drop(
             "__node"
@@ -324,7 +336,7 @@ class NodeSet:
         esel += [F.col("props")[p].alias(f"edge_{p}") for p in edge_props]
         dst = self._g.nodes
         if into is not None:
-            dst = dst.filter(F.col("node_type") == into)
+            dst = _filter_type(dst, into)
         # edge ⋈ dst FIRST, then starts joined to the matched pattern:
         # for inner hops the associativity is a no-op (Catalyst reorders
         # anyway), but it is what makes OPTIONAL MATCH multiplicity right —

@@ -244,6 +244,23 @@ def test_in_star_registered_query_layers_and_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_match_and_into_accept_multiple_types(g):
+    """Cypher's multi-label pattern (n:A|B): match over a type list is
+    the union of the single-type matches, and a multi-type ``into``
+    keeps exactly the matching destination families."""
+    both = g.match(["CUSTOMER", "SUPPLIER"]).df()
+    single = g.match("CUSTOMER").df().count() + g.match("SUPPLIER").df().count()
+    assert both.count() == single > 0
+    assert {r[0] for r in both.select("node_type").distinct().collect()} == {
+        "CUSTOMER", "SUPPLIER",
+    }
+    hop = g.match("ORDER").out(
+        rel_graph="SEMANTIC", into=("PART", "LITERAL")
+    ).df()
+    types = {r[0] for r in hop.select("node_type").distinct().collect()}
+    assert types == {"PART", "LITERAL"}
+
+
 def test_edge_where_filters_before_hop(g):
     """The relationship predicate restricts traversed edges: ordinal<=2
     'includes' hops are a strict subset of the unfiltered hop, and every
