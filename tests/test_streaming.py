@@ -663,3 +663,38 @@ def test_sink_commit_log_drain_diff_algebra(tmp_path):
     # cold sink: both helpers degrade to empty sets
     assert sink_log_names(str(tmp_path / "nope")) == set()
     assert sink_committed_files(str(tmp_path / "nope")) == set()
+
+
+def test_sampling_predicates_stream_equals_batch(spark):
+    """The corpus sampling decisions (quality floor, train split,
+    language quotas) are STATELESS predicates keyed on doc_id/text/lang
+    alone, so they run unchanged over a stream — an incrementally
+    ingested corpus gets the exact survivor set the batch pass computes
+    (no state, no watermark, no re-keying as files arrive)."""
+    from progquery_spark.ops import sampling
+
+    schema = spark.read.option("pathGlobFilter", "documents.parquet").parquet(
+        SF
+    ).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF)
+    )
+    keep = (
+        sampling.passes_quality()
+        & ~sampling.is_holdout()
+        & sampling.keeps_stratified()
+    )
+    got = run_available_now(
+        stream.filter(keep).select("doc_id", "lang"), "t_sampling_surv"
+    )
+    s = {(r["doc_id"], r["lang"]) for r in got.collect()}
+    b = {
+        (r["doc_id"], r["lang"])
+        for r in sampling._docs(spark, SF)
+        .filter(keep)
+        .select("doc_id", "lang")
+        .collect()
+    }
+    assert s == b and len(s) > 0
