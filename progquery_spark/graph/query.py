@@ -42,6 +42,14 @@ def _filter_type(df: DataFrame, node_type) -> DataFrame:
     """node_type equality, or Cypher's multi-label ``(n:A|B)`` when given
     a list/tuple — both constant-fold literal-typed families."""
     if isinstance(node_type, (list, tuple, set)):
+        if not node_type:
+            # isin() of nothing folds to FALSE — an empty dynamic label
+            # list would silently return zero rows, indistinguishable
+            # from a legitimately empty match
+            raise ValueError(
+                "empty node_type list: pass None to match every type, or "
+                "at least one label"
+            )
         return df.filter(F.col("node_type").isin(*sorted(node_type)))
     return df.filter(F.col("node_type") == node_type)
 

@@ -48,14 +48,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..hashing import _A, _B, _M
+from ..hashing import _A, _B, _M, perm_hash
 from ..session import register_sf_views
 
 # Frozen pool indices — one independent (a, b) pair per concern, so the
-# three keyings are pairwise-uncorrelated permutations of the id space.
-_SPLIT_A, _SPLIT_B = _A[24], _B[24]
-_SAMP_A, _SAMP_B = _A[25], _B[25]
-_PACK_A, _PACK_B = _A[26], _B[26]
+# three keyings are pairwise-uncorrelated permutations of the id space
+# (indices 24-26: the minhash family uses 0-15, no overlap).
+_SPLIT_I, _SAMP_I, _PACK_I = 24, 25, 26
+_SPLIT_A, _SPLIT_B = _A[_SPLIT_I], _B[_SPLIT_I]
+_SAMP_A, _SAMP_B = _A[_SAMP_I], _B[_SAMP_I]
+_PACK_A, _PACK_B = _A[_PACK_I], _B[_PACK_I]
 
 #: holdout quota, permille of the corpus
 HOLDOUT_PERMILLE = 50
@@ -72,10 +74,21 @@ PACK_BUDGET = 512
 PACK_BUCKETS = 4
 
 
-def _key(id_col, a: int, b: int):
-    """(a * (id % M) + b) % M — uniform deterministic key in the field,
-    overflow-safe under ANSI for any 64-bit id (product < 2^62)."""
-    return (F.lit(a) * (id_col % F.lit(_M)) + F.lit(b)) % F.lit(_M)
+def _key(id_col, pool_i: int):
+    """The pool_i-th certified LCG keying of an id column: pmod-reduce
+    the id into [0, M) then hashing.perm_hash — uniform deterministic,
+    overflow-safe under ANSI for any 64-bit id including NEGATIVE ones
+    (plain % follows the sign, which would force every negative id into
+    holdout and past every quota; code-review finding). The oracle SQL
+    mirrors the pmod as ((id % M + M) % M)."""
+    return perm_hash(F.pmod(id_col, F.lit(_M)), pool_i)
+
+
+def _key_sql(a: int, b: int) -> str:
+    """The DuckDB replay of ``_key``: same field math, sign-safe inner
+    reduction (a*x+b with x in [0, M) is non-negative, so the outer %
+    needs no wrap)."""
+    return f"(({a} * ((doc_id % {_M} + {_M}) % {_M}) + {b}) % {_M})"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,7 +109,7 @@ def is_holdout(holdout_permille: int = HOLDOUT_PERMILLE):
     """Boolean Column: this row's doc_id falls in the holdout quota.
     A PREDICATE, not a frame — compose it with ``filter`` so the split
     rides the scan instead of round-tripping through a self-join."""
-    return _key(F.col("doc_id"), _SPLIT_A, _SPLIT_B) % 1000 < holdout_permille
+    return _key(F.col("doc_id"), _SPLIT_I) % 1000 < holdout_permille
 
 
 def keeps_stratified(rates: dict[str, int] | None = None):
@@ -106,7 +119,7 @@ def keeps_stratified(rates: dict[str, int] | None = None):
     rate = F.lit(DEFAULT_RATE_PERMILLE)
     for lang, pm in sorted(rates.items()):
         rate = F.when(F.col("lang") == lang, F.lit(pm)).otherwise(rate)
-    return _key(F.col("doc_id"), _SAMP_A, _SAMP_B) % 1000 < rate
+    return _key(F.col("doc_id"), _SAMP_I) % 1000 < rate
 
 
 def assign_split(docs: DataFrame, holdout_permille: int = HOLDOUT_PERMILLE) -> DataFrame:
@@ -137,7 +150,7 @@ def pack_documents(
     deterministic streams; a document straddling a budget boundary
     belongs to the pack its first token lands in (concatenate-then-cut
     semantics — the pretraining norm, not bin packing)."""
-    k = _key(F.col("doc_id"), _PACK_A, _PACK_B)
+    k = _key(F.col("doc_id"), _PACK_I)
     toks = docs.select(
         "doc_id",
         (k % n_buckets).alias("bucket"),
@@ -164,15 +177,25 @@ def pack_documents(
 
 def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-split doc and token totals — the contamination-audit view of
-    the deterministic holdout assignment."""
-    d = _docs(spark, sf_dir)
-    sp = assign_split(d)
-    joined = d.select(
-        "doc_id", F.size(F.split("text", " ")).cast("long").alias("t")
-    ).join(sp, "doc_id")
-    return joined.groupBy("split").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("t").alias("sum_ws_tokens"),
+    the deterministic holdout assignment. The split enters as an inline
+    projection, NOT a self-join of assign_split back onto the table (the
+    first draft's join added exchanges to an op whose whole design point
+    is riding the scan; code-review finding — same lesson as the
+    corpus_pipeline predicate refactor): the only exchange left is the
+    final 2-group aggregate."""
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            F.when(is_holdout(), F.lit("holdout"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+            F.size(F.split("text", " ")).cast("long").alias("t"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("t").alias("sum_ws_tokens"),
+        )
     )
 
 
@@ -276,18 +299,18 @@ def oracles():
         ),
         train AS (
           SELECT * FROM quality
-          WHERE ({_SPLIT_A} * (doc_id % {_M}) + {_SPLIT_B}) % {_M} % 1000
+          WHERE {_key_sql(_SPLIT_A, _SPLIT_B)} % 1000
                 >= {HOLDOUT_PERMILLE}
         ),
         samp AS (
           SELECT * FROM train
-          WHERE ({_SAMP_A} * (doc_id % {_M}) + {_SAMP_B}) % {_M} % 1000
+          WHERE {_key_sql(_SAMP_A, _SAMP_B)} % 1000
                 < ({rate_case})
         ),
         toks AS (
           SELECT doc_id,
-                 ({_PACK_A} * (doc_id % {_M}) + {_PACK_B}) % {_M} AS okey,
-                 ({_PACK_A} * (doc_id % {_M}) + {_PACK_B}) % {_M}
+                 {_key_sql(_PACK_A, _PACK_B)} AS okey,
+                 {_key_sql(_PACK_A, _PACK_B)}
                    % {PACK_BUCKETS} AS bucket,
                  len(string_split(text, ' ')) AS n_tokens
           FROM samp
@@ -309,8 +332,8 @@ def oracles():
         "sample_split": f"""
         SELECT split, COUNT(*) AS n_docs,
                CAST(SUM(t) AS BIGINT) AS sum_ws_tokens
-        FROM (SELECT CASE WHEN ({_SPLIT_A} * (doc_id % {_M}) + {_SPLIT_B})
-                               % {_M} % 1000 < {HOLDOUT_PERMILLE}
+        FROM (SELECT CASE WHEN {_key_sql(_SPLIT_A, _SPLIT_B)}
+                               % 1000 < {HOLDOUT_PERMILLE}
                           THEN 'holdout' ELSE 'train' END AS split,
                      len(string_split(text, ' ')) AS t
               FROM documents)
@@ -318,7 +341,7 @@ def oracles():
         """,
         "sample_stratified": f"""
         SELECT doc_id, lang FROM documents
-        WHERE ({_SAMP_A} * (doc_id % {_M}) + {_SAMP_B}) % {_M} % 1000
+        WHERE {_key_sql(_SAMP_A, _SAMP_B)} % 1000
               < ({rate_case})
         """,
         "pack_documents": f"""
@@ -331,9 +354,9 @@ def oracles():
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                    AS start_off
           FROM (SELECT doc_id,
-                       ({_PACK_A} * (doc_id % {_M}) + {_PACK_B}) % {_M}
+                       {_key_sql(_PACK_A, _PACK_B)}
                          AS okey,
-                       ({_PACK_A} * (doc_id % {_M}) + {_PACK_B}) % {_M}
+                       {_key_sql(_PACK_A, _PACK_B)}
                          % {PACK_BUCKETS} AS bucket,
                        len(string_split(text, ' ')) AS n_tokens
                 FROM documents))

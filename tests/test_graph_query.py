@@ -259,6 +259,11 @@ def test_match_and_into_accept_multiple_types(g):
     ).df()
     types = {r[0] for r in hop.select("node_type").distinct().collect()}
     assert types == {"PART", "LITERAL"}
+    # an empty dynamic label list would silently match nothing — refuse
+    with pytest.raises(ValueError, match="empty node_type"):
+        g.match([])
+    with pytest.raises(ValueError, match="empty node_type"):
+        g.match("ORDER").out(rel_graph="SEMANTIC", into=())
 
 
 def test_edge_where_filters_before_hop(g):

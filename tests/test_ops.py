@@ -925,7 +925,10 @@ def test_sampling_pack_documents_invariants(spark):
 
 def test_sampling_split_and_sample_plans_are_shuffle_free(spark):
     """Split assignment and stratified sampling are pure projections —
-    zero exchanges, so at 100 TB they ride the scan."""
+    zero exchanges, so at 100 TB they ride the scan. The REGISTERED
+    sample_split query keeps that shape too: its only exchange is the
+    final 2-group aggregate (the self-joining draft that paid join
+    exchanges is the regression this guards)."""
     from progquery_spark.ops import sampling
 
     d = sampling._docs(spark, SF)
@@ -934,6 +937,32 @@ def test_sampling_split_and_sample_plans_are_shuffle_free(spark):
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"))
         assert "Exchange" not in plan, plan
+    gate = sampling.q_sample_split(spark, SF)
+    plan = gate._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_sampling_key_handles_negative_ids(spark):
+    """The id keying must stay in [0, M) for ANY 64-bit id: plain %
+    follows the sign and would force every negative id into holdout and
+    past every quota (code-review finding — pmod both engines)."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from progquery_spark.ops import sampling
+
+    d = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [-(10**12) - 7, -5, 0, 5, 10**12 + 7]})
+    )
+    keys = d.select(
+        sampling._key(F.col("doc_id"), sampling._SPLIT_I).alias("k")
+    ).collect()
+    assert all(0 <= r["k"] < (1 << 31) - 1 for r in keys), keys
+    # and the negative ids are not all funneled into holdout
+    flags = d.select(sampling.is_holdout().alias("h")).collect()
+    assert not all(r["h"] for r in flags[:2])
 
 
 def test_sampling_corpus_pipeline_composition(spark):

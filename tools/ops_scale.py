@@ -212,12 +212,19 @@ def probe(corpus: str) -> None:
     spark.stop()
 
 
+_PACK_BUCKETS_CACHE: dict[str, int] = {}
+
+
 def _pack_buckets(spark, corpus: str) -> int:
     """Corpus-tracking packing parallelism: ~1 stream per 50k docs (the
     documented n_buckets scale knob — 4 gate buckets at 2M docs would
-    serialize the window sort into 4 executor-crushing partitions)."""
-    n = spark.read.parquet(f"{corpus}/documents.parquet").count()
-    return max(4, n // 50_000)
+    serialize the window sort into 4 executor-crushing partitions).
+    Memoized per corpus path: pack_documents and corpus_pipeline both
+    call it in one run and the corpus is immutable."""
+    if corpus not in _PACK_BUCKETS_CACHE:
+        n = spark.read.parquet(f"{corpus}/documents.parquet").count()
+        _PACK_BUCKETS_CACHE[corpus] = max(4, n // 50_000)
+    return _PACK_BUCKETS_CACHE[corpus]
 
 
 def run(corpus: str, cpus: int, only: set[str]) -> None:
